@@ -1,0 +1,160 @@
+"""geocell — a vendored hierarchical spatial cell index (pure arithmetic).
+
+h3/s2 packages are unavailable in this environment, so the engine vendors
+a quadtree cell index built only from published math (equirectangular
+grid, Bing-quadkey-style hierarchy): at resolution ``r`` the world
+(lng ∈ [-180,180), lat ∈ [-90,90)) is a 2^r × 2^r grid.
+
+    x = floor((lng + 180) / 360 * 2^r)   clamped to [0, 2^r - 1]
+    y = floor((lat +  90) / 180 * 2^r)   clamped to [0, 2^r - 1]
+    cell_id = r * 2^58 + y * 2^29 + x    (fits int64 for r ≤ 29)
+
+Key properties:
+- encode/decode are pure integer arithmetic → implemented as Spark
+  Column expressions (whole-stage codegen, no UDF) AND as portable SQL
+  so the DuckDB oracle reproduces identical ids.
+- parent/child relations are bit shifts of (x, y) → hierarchical
+  rollups are cheap and partition-friendly (cell prefix = parent cell).
+- polyfill (cell cover of a bbox/polygon) is vectorized numpy, used
+  driver-side or inside pandas UDFs for the PIP prefilter join.
+
+This plays the role H3/S2 plays in the north_star: stable tile ids for
+density maps and a spatial-locality partitioning key.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+MAX_RES = 29
+_RES_SHIFT = 2**58
+_Y_SHIFT = 2**29
+
+
+# ---------------------------------------------------------------- Column API
+def cell_encode(lat: Column, lng: Column, res: int) -> Column:
+    """lat/lng → int64 cell id at resolution ``res`` (pure Column expr)."""
+    if not 0 <= res <= MAX_RES:
+        raise ValueError(f"res must be in [0, {MAX_RES}]")
+    n = float(2**res)
+    hi = int(2**res - 1)
+    x = F.least(F.lit(hi), F.greatest(F.lit(0), F.floor((lng + 180.0) / 360.0 * n))).cast("long")
+    y = F.least(F.lit(hi), F.greatest(F.lit(0), F.floor((lat + 90.0) / 180.0 * n))).cast("long")
+    return (F.lit(res).cast("long") * F.lit(_RES_SHIFT) + y * F.lit(_Y_SHIFT) + x).alias(
+        f"cell_r{res}"
+    )
+
+
+def cell_parent(cell: Column, res: int, parent_res: int) -> Column:
+    """Coarsen a cell id from ``res`` to ``parent_res`` (Column expr)."""
+    if parent_res > res:
+        raise ValueError("parent_res must be <= res")
+    shift = 2 ** (res - parent_res)
+    x = cell % F.lit(_Y_SHIFT)
+    y = F.floor((cell % F.lit(_RES_SHIFT)) / F.lit(_Y_SHIFT)).cast("long")
+    xp = F.floor(x / F.lit(shift)).cast("long")
+    yp = F.floor(y / F.lit(shift)).cast("long")
+    return (F.lit(parent_res).cast("long") * F.lit(_RES_SHIFT) + yp * F.lit(_Y_SHIFT) + xp).alias(
+        f"cell_r{parent_res}"
+    )
+
+
+# ------------------------------------------------------------ SQL generators
+def cell_encode_sql(lat: str, lng: str, res: int) -> str:
+    """Portable SQL producing ids identical to :func:`cell_encode`."""
+    n = float(2**res)
+    hi = 2**res - 1
+    x = f"least({hi}, greatest(0, CAST(floor((({lng}) + 180.0) / 360.0 * {n}) AS BIGINT)))"
+    y = f"least({hi}, greatest(0, CAST(floor((({lat}) + 90.0) / 180.0 * {n}) AS BIGINT)))"
+    return f"(CAST({res} AS BIGINT) * {_RES_SHIFT} + {y} * {_Y_SHIFT} + {x})"
+
+
+# ----------------------------------------------------------------- numpy API
+def np_cell_encode(lat, lng, res: int):
+    lat = np.asarray(lat, dtype=np.float64)
+    lng = np.asarray(lng, dtype=np.float64)
+    n = 2**res
+    x = np.clip(np.floor((lng + 180.0) / 360.0 * n), 0, n - 1).astype(np.int64)
+    y = np.clip(np.floor((lat + 90.0) / 180.0 * n), 0, n - 1).astype(np.int64)
+    return res * _RES_SHIFT + y * _Y_SHIFT + x
+
+
+def np_cell_decode(cell):
+    """cell id → (res, x, y) arrays."""
+    cell = np.asarray(cell, dtype=np.int64)
+    res = cell // _RES_SHIFT
+    rem = cell % _RES_SHIFT
+    y = rem // _Y_SHIFT
+    x = rem % _Y_SHIFT
+    return res.astype(np.int64), x, y
+
+
+def np_cell_bounds(cell):
+    """cell id → (w, s, e, n) degree bounds arrays."""
+    res, x, y = np_cell_decode(cell)
+    n = np.power(2.0, res)
+    w = x / n * 360.0 - 180.0
+    e = (x + 1) / n * 360.0 - 180.0
+    s = y / n * 180.0 - 90.0
+    nn = (y + 1) / n * 180.0 - 90.0
+    return w, s, e, nn
+
+
+def np_cell_parent(cell, parent_res: int):
+    res, x, y = np_cell_decode(cell)
+    shift = np.power(2, (res - parent_res)).astype(np.int64)
+    return parent_res * _RES_SHIFT + (y // shift) * _Y_SHIFT + (x // shift)
+
+
+def np_cell_children(cell_id: int):
+    """The 4 children one resolution finer."""
+    res, x, y = np_cell_decode(np.asarray([cell_id]))
+    r, x0, y0 = int(res[0]) + 1, int(x[0]) * 2, int(y[0]) * 2
+    return np.asarray(
+        [r * _RES_SHIFT + (y0 + dy) * _Y_SHIFT + (x0 + dx) for dy in (0, 1) for dx in (0, 1)],
+        dtype=np.int64,
+    )
+
+
+def np_cell_neighbors(cell_id: int):
+    """8-neighborhood at the same resolution (lng wraps, lat clamps)."""
+    res, x, y = np_cell_decode(np.asarray([cell_id]))
+    r, x0, y0 = int(res[0]), int(x[0]), int(y[0])
+    n = 2**r
+    out = []
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dx == 0 and dy == 0:
+                continue
+            yy = y0 + dy
+            if not 0 <= yy < n:
+                continue
+            xx = (x0 + dx) % n
+            out.append(r * _RES_SHIFT + yy * _Y_SHIFT + xx)
+    return np.asarray(sorted(set(out)), dtype=np.int64)
+
+
+def np_polyfill_bbox(w: float, s: float, e: float, n: float, res: int):
+    """All cells at ``res`` intersecting the bbox (vectorized meshgrid)."""
+    grid = 2**res
+    x0 = int(np.clip(np.floor((w + 180.0) / 360.0 * grid), 0, grid - 1))
+    x1 = int(np.clip(np.floor((e + 180.0) / 360.0 * grid), 0, grid - 1))
+    y0 = int(np.clip(np.floor((s + 90.0) / 180.0 * grid), 0, grid - 1))
+    y1 = int(np.clip(np.floor((n + 90.0) / 180.0 * grid), 0, grid - 1))
+    xs = np.arange(x0, x1 + 1, dtype=np.int64)
+    ys = np.arange(y0, y1 + 1, dtype=np.int64)
+    xx, yy = np.meshgrid(xs, ys)
+    return (res * _RES_SHIFT + yy.ravel() * _Y_SHIFT + xx.ravel()).astype(np.int64)
+
+
+def pick_cover_res(w: float, s: float, e: float, n: float, max_cells: int = 256) -> int:
+    """Finest resolution whose bbox cover stays under ``max_cells``."""
+    for res in range(MAX_RES, -1, -1):
+        grid = 2**res
+        nx = max(1, int((e - w) / 360.0 * grid) + 2)
+        ny = max(1, int((n - s) / 180.0 * grid) + 2)
+        if nx * ny <= max_cells:
+            return res
+    return 0

@@ -1,0 +1,200 @@
+"""The geocoding core: broadcast gazetteer join + vet + composite-best.
+
+Replaces the reference's per-row loop of up-to-4 blocking HTTP GETs
+(reference: geocode/batch_geocode.py:173-182, geocode/query_funcs.py:342-349)
+with one broadcast hash equi-join against a multi-source gazetteer table,
+then reproduces the reference's vetting semantics exactly as DataFrame
+aggregates:
+
+- candidate point-set model: a candidate with a bounding box contributes
+  its two corner points, a point-only candidate contributes one point
+  (reference: geocode/query_funcs.py:376-394 GM, 424-439 OSM corners;
+  452-469 GN, 485-506 FG single points)
+- candidate centroid = mean over its points, "buffer" = haversine km of
+  the bbox diagonal (reference: geocode/query_funcs.py:254-278)
+- vet: drop candidates with buffer > max_buffer; composite "best" from
+  the union of surviving candidates' points, accepted iff its own
+  diagonal ≤ max_buffer, type = 'Composite of {n} geocoded locations'
+  (reference: geocode/query_funcs.py:193-219)
+- top-k per source via window rank (reference: geocode/query_funcs.py:376)
+
+Scale notes (10^12-row design):
+- the gazetteer is the ONLY broadcast state; the images side never
+  shuffles for the join itself.
+- `select` drops the `bytes` payload before the join so column pruning
+  actually removes the image payload from the geocode path.
+- duplicate-work elimination: identical captions are geocoded once via
+  `distinct(loc_key)` and re-joined (the reference re-queries per row,
+  geocode/batch_geocode.py:173-182) — controlled by `dedup_keys`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from batch_geocode_spark.functions.geo import bbox_diag_km, haversine_km, norm_name
+
+DEFAULT_MAX_BUFFER_KM = 15.0  # reference: geocode/batch_geocode.py:143-149
+DEFAULT_RESULTS_PER_SOURCE = 2  # reference: geocode/batch_geocode.py:139-142
+SUFFIXES = ["name", "type", "lat", "long", "buffer"]  # reference: geocode/utilities.py:42-45
+
+
+def extract_loc_key(caption) -> F.Column:
+    """Caption → normalized gazetteer join key.
+
+    Location-string extraction: the fixture/caption grammar places the
+    location between ' near ' and an optional ', <country>' tail — a
+    regexp is the NER-lite stand-in (pure Column expr, no UDF).
+    """
+    raw = F.regexp_extract(caption, r"\bnear ([^,]+)", 1)
+    return F.when(raw != "", norm_name(raw))
+
+
+def build_candidates(
+    images: DataFrame,
+    gazetteer: DataFrame,
+    n_results: int = DEFAULT_RESULTS_PER_SOURCE,
+    dedup_keys: bool = True,
+) -> DataFrame:
+    """Long-form candidates: one row per (image_id, source, rank).
+
+    Plan shape: [images: extract key, drop payload] ⋈_broadcast
+    [gazetteer: rank ≤ n per (name, source)] — a single broadcast hash
+    join, no shuffle on the big side.
+    """
+    gaz = gazetteer.withColumn(
+        "rank",
+        F.row_number().over(
+            W.partitionBy("name_norm", "source").orderBy("api_rank", "gaz_id")
+        ),
+    ).filter(F.col("rank") <= n_results)
+    gaz = _candidate_geometry(gaz)
+
+    keyed = images.select("image_id", extract_loc_key(F.col("caption")).alias("loc_key"))
+
+    if dedup_keys:
+        # geocode O(distinct keys) instead of O(rows), then re-join
+        keys = keyed.select("loc_key").where(F.col("loc_key").isNotNull()).distinct()
+        hits = keys.join(F.broadcast(gaz), keys.loc_key == gaz.name_norm, "inner")
+        return (
+            keyed.join(F.broadcast(hits), "loc_key", "inner")
+            .drop("loc_key", "name_norm")
+        )
+    joined = keyed.join(F.broadcast(gaz), keyed.loc_key == gaz.name_norm, "inner")
+    return joined.drop("loc_key", "name_norm")
+
+
+def _candidate_geometry(gaz: DataFrame) -> DataFrame:
+    """Attach the reference's point-set geometry to each gazetteer row."""
+    has_bbox = F.col("bb_w").isNotNull()
+    return (
+        gaz.withColumn("n_pts", F.when(has_bbox, F.lit(2)).otherwise(F.lit(1)))
+        .withColumn("min_lng", F.when(has_bbox, F.col("bb_w")).otherwise(F.col("lng")))
+        .withColumn("max_lng", F.when(has_bbox, F.col("bb_e")).otherwise(F.col("lng")))
+        .withColumn("min_lat", F.when(has_bbox, F.col("bb_s")).otherwise(F.col("lat")))
+        .withColumn("max_lat", F.when(has_bbox, F.col("bb_n")).otherwise(F.col("lat")))
+        .withColumn("sum_lng", F.col("min_lng") + F.when(has_bbox, F.col("max_lng")).otherwise(F.lit(0.0)))
+        .withColumn("sum_lat", F.col("min_lat") + F.when(has_bbox, F.col("max_lat")).otherwise(F.lit(0.0)))
+        .withColumn("cand_lng", F.col("sum_lng") / F.col("n_pts"))
+        .withColumn("cand_lat", F.col("sum_lat") / F.col("n_pts"))
+        .withColumn(
+            "buffer",
+            bbox_diag_km(F.col("min_lng"), F.col("min_lat"), F.col("max_lng"), F.col("max_lat")),
+        )
+    )
+
+
+def vet_candidates(candidates: DataFrame, max_buffer: float = DEFAULT_MAX_BUFFER_KM) -> DataFrame:
+    """Buffer vetting (reference: geocode/query_funcs.py:199-207)."""
+    return candidates.filter(F.col("buffer") <= F.lit(max_buffer))
+
+
+def composite_best(
+    vetted: DataFrame, max_buffer: float = DEFAULT_MAX_BUFFER_KM
+) -> DataFrame:
+    """Per-image composite 'best' (reference: geocode/query_funcs.py:209-219).
+
+    Union of surviving candidates' points → combined bbox + point-mean
+    centroid; accepted iff the combined diagonal ≤ max_buffer.
+    One shuffle, partial+final aggregation (Catalyst map-side combine).
+    """
+    agg = vetted.groupBy("image_id").agg(
+        F.sum("n_pts").alias("tot_pts"),
+        F.sum("sum_lng").alias("tot_lng"),
+        F.sum("sum_lat").alias("tot_lat"),
+        F.min("min_lng").alias("c_min_lng"),
+        F.min("min_lat").alias("c_min_lat"),
+        F.max("max_lng").alias("c_max_lng"),
+        F.max("max_lat").alias("c_max_lat"),
+        F.count(F.lit(1)).alias("num_valid"),
+    )
+    diag = bbox_diag_km(
+        F.col("c_min_lng"), F.col("c_min_lat"), F.col("c_max_lng"), F.col("c_max_lat")
+    )
+    return (
+        agg.withColumn("best_buffer", diag)
+        .filter(F.col("best_buffer") <= F.lit(max_buffer))
+        .select(
+            "image_id",
+            F.lit("Vetted").alias("best_name"),
+            F.concat(
+                F.lit("Composite of "), F.col("num_valid"), F.lit(" geocoded locations")
+            ).alias("best_type"),
+            (F.col("tot_lat") / F.col("tot_pts")).alias("best_lat"),
+            (F.col("tot_lng") / F.col("tot_pts")).alias("best_long"),
+            F.col("best_buffer"),
+            F.col("num_valid"),
+        )
+    )
+
+
+def geocode_images(
+    images: DataFrame,
+    gazetteer: DataFrame,
+    n_results: int = DEFAULT_RESULTS_PER_SOURCE,
+    max_buffer: float = DEFAULT_MAX_BUFFER_KM,
+) -> tuple[DataFrame, DataFrame]:
+    """Full pipeline → (vetted long-form candidates, best per image)."""
+    cands = build_candidates(images, gazetteer, n_results=n_results)
+    vetted = vet_candidates(cands, max_buffer=max_buffer)
+    best = composite_best(vetted, max_buffer=max_buffer)
+    return vetted, best
+
+
+def to_wide(
+    images: DataFrame, vetted: DataFrame, best: DataFrame
+) -> DataFrame:
+    """Reference-parity wide layout: input columns + {prefix}_{suffix}
+    with prefixes sorted case-insensitively and 'best' first
+    (reference: geocode/batch_geocode.py:23-38; suffixes
+    geocode/utilities.py:42-45).
+    """
+    prefixed = vetted.select(
+        "image_id",
+        F.concat(F.col("source"), F.col("rank")).alias("prefix"),
+        F.col("name"),
+        F.col("loc_type").alias("type"),
+        F.col("cand_lat").alias("lat"),
+        F.col("cand_lng").alias("long"),
+        F.col("buffer"),
+    )
+    prefixes = sorted(
+        (r["prefix"] for r in prefixed.select("prefix").distinct().collect()),
+        key=str.lower,
+    )
+    exprs = [
+        F.first(F.when(F.col("prefix") == p, F.col(s)), ignorenulls=True).alias(f"{p}_{s}")
+        for p in prefixes
+        for s in SUFFIXES
+    ]
+    pivoted = prefixed.groupBy("image_id").agg(*exprs)
+    wide = (
+        images.join(pivoted, "image_id", "left")
+        .join(best.drop("num_valid"), "image_id", "left")
+    )
+    ordered = [c for c in images.columns] + [
+        f"{p}_{s}" for p in ["best"] + prefixes for s in SUFFIXES
+    ]
+    return wide.select(*[F.col(c) if c in wide.columns else F.lit(None).alias(c) for c in ordered])
