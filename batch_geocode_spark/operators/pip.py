@@ -1,0 +1,114 @@
+"""Point-in-polygon join (north_rule J5).
+
+Reference analog: per-point country attribution (reference:
+geocode/query_funcs.py:411-427 OSM country filter) and admin-level
+result types (geocode/query_funcs.py:464). shapely/STRtree are
+unavailable, so the exact test is vectorized numpy even-odd ray
+casting; the STRtree role is played by a geocell-cover prefilter:
+
+    polygons --mapInPandas--> (cell, admin_id) cover at res R
+    points   --cell_encode--> cell at res R
+    points ⋈_broadcast cover on cell        -- candidate pairs only
+    candidates ⋈_broadcast polygons(rings)  -- attach geometry
+    mapInPandas numpy ray-cast              -- exact test per batch
+
+At 10^12 points the big side never shuffles: both joins broadcast the
+(small) admin side; the exact test is Arrow-batched numpy.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from batch_geocode_spark.functions.cells import cell_encode, np_polyfill_bbox
+
+
+def polygon_cell_cover(polygons: DataFrame, res: int) -> DataFrame:
+    """(admin_id, cell) for every res-cell intersecting each polygon bbox."""
+
+    def cover(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, cells_out = [], []
+            for row in pdf.itertuples():
+                cc = np_polyfill_bbox(row.bb_w, row.bb_s, row.bb_e, row.bb_n, res)
+                ids.append(np.full(len(cc), row.admin_id, dtype=np.int64))
+                cells_out.append(cc)
+            if ids:
+                yield pd.DataFrame(
+                    {"admin_id": np.concatenate(ids), "cell": np.concatenate(cells_out)}
+                )
+
+    return polygons.select("admin_id", "bb_w", "bb_s", "bb_e", "bb_n").mapInPandas(
+        cover, schema="admin_id long, cell long"
+    )
+
+
+def _points_in_rings(px: np.ndarray, py: np.ndarray, rings) -> np.ndarray:
+    """Vectorized even-odd ray casting over all rings (holes included)."""
+    inside = np.zeros(len(px), dtype=bool)
+    for ring in rings:
+        xs = np.asarray([p["x"] for p in ring], dtype=np.float64)
+        ys = np.asarray([p["y"] for p in ring], dtype=np.float64)
+        x1, y1 = xs[:-1], ys[:-1]
+        x2, y2 = xs[1:], ys[1:]
+        for i in range(len(x1)):
+            cond = (y1[i] > py) != (y2[i] > py)
+            if not cond.any():
+                continue
+            xint = (x2[i] - x1[i]) * (py - y1[i]) / (y2[i] - y1[i]) + x1[i]
+            inside ^= cond & (px < xint)
+    return inside
+
+
+def pip_join(
+    points: DataFrame,
+    polygons: DataFrame,
+    res: int = 7,
+    id_col: str = "image_id",
+    lat_col: str = "best_lat",
+    lng_col: str = "best_long",
+) -> DataFrame:
+    """Exact PIP join → (point id, admin_id, admin attrs)."""
+    cover = polygon_cell_cover(polygons, res)
+    pts = points.select(
+        F.col(id_col).alias("pt_id"),
+        F.col(lat_col).alias("pt_lat"),
+        F.col(lng_col).alias("pt_lng"),
+        cell_encode(F.col(lat_col), F.col(lng_col), res).alias("cell"),
+    )
+    cand = pts.join(F.broadcast(cover), "cell", "inner").join(
+        F.broadcast(polygons.select("admin_id", "iso2", "admin_level", "name", "rings")),
+        "admin_id",
+        "inner",
+    )
+
+    out_schema = (
+        "pt_id string, pt_lat double, pt_lng double, admin_id long, "
+        "iso2 string, admin_level int, name string"
+    )
+
+    def exact(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if pdf.empty:
+                continue
+            pdf = pdf.reset_index(drop=True)
+            keep = np.zeros(len(pdf), dtype=bool)
+            for _admin_id, grp in pdf.groupby("admin_id", sort=False):
+                mask = _points_in_rings(
+                    grp["pt_lng"].to_numpy(np.float64),
+                    grp["pt_lat"].to_numpy(np.float64),
+                    grp["rings"].iloc[0],
+                )
+                keep[grp.index.to_numpy()] = mask
+            res_pdf = pdf.loc[
+                keep, ["pt_id", "pt_lat", "pt_lng", "admin_id", "iso2", "admin_level", "name"]
+            ]
+            if len(res_pdf):
+                yield res_pdf
+
+    return cand.mapInPandas(exact, schema=out_schema)

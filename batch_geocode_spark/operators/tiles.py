@@ -1,0 +1,82 @@
+"""Raster-tile density aggregation (north_rule A7).
+
+Reference analog: per-point buffer circles rendered client-side
+(reference: app/templates/vet.html:214-228). Here: per-cell density
+aggregates plus raster tile assembly.
+
+Scale design:
+- density = one shuffle, partial+final agg (map-side combine free).
+- skew (dense metros → hot cells): two-phase salted aggregation —
+  groupBy(cell, salt) then groupBy(cell) — keeps any single reducer
+  from owning a whole metro at 10^12 rows.
+- raster assembly groups fine cells under their parent tile and
+  renders a (tile_px × tile_px) count grid per tile in applyInPandas
+  (vectorized numpy scatter, no per-row Python).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from batch_geocode_spark.functions.cells import _Y_SHIFT, cell_encode, cell_parent
+
+
+def cell_density(
+    points: DataFrame,
+    lat_col: str = "best_lat",
+    lng_col: str = "best_long",
+    res: int = 9,
+    salt_buckets: int = 0,
+    distinct_col: str | None = None,
+) -> DataFrame:
+    """groupBy(cell) → count (+ approx distinct). ``salt_buckets`` > 0
+    enables the two-phase salted plan for hot-cell skew."""
+    df = points.withColumn("cell", cell_encode(F.col(lat_col), F.col(lng_col), res))
+    if salt_buckets <= 1:
+        aggs = [F.count(F.lit(1)).alias("n_images")]
+        if distinct_col:
+            aggs.append(F.approx_count_distinct(distinct_col).alias("n_distinct_approx"))
+        return df.groupBy("cell").agg(*aggs)
+    salted = df.withColumn(
+        "salt", F.pmod(F.xxhash64(F.col(distinct_col or lng_col)), F.lit(salt_buckets))
+    )
+    partial = salted.groupBy("cell", "salt").agg(F.count(F.lit(1)).alias("pn"))
+    return partial.groupBy("cell").agg(F.sum("pn").alias("n_images"))
+
+
+def assemble_raster_tiles(
+    density: DataFrame, res: int, tile_res: int, cell_col: str = "cell"
+) -> DataFrame:
+    """Group res-level cell counts under their tile_res parent and emit a
+    dense per-tile raster: (tile, px array of counts, tile_px).
+
+    px = 2^(res - tile_res) per side; each tile row carries a flattened
+    row-major count grid — the vector→raster step of the north_rule.
+    """
+    if tile_res > res:
+        raise ValueError("tile_res must be <= res")
+    px = 2 ** (res - tile_res)
+    with_tile = density.withColumn("tile", cell_parent(F.col(cell_col), res, tile_res))
+
+    def render(pdf: pd.DataFrame) -> pd.DataFrame:
+        tile = int(pdf["tile"].iloc[0])
+        rem = pdf[cell_col].to_numpy(dtype=np.int64) % (2**58)
+        y = rem // _Y_SHIFT
+        x = rem % _Y_SHIFT
+        grid = np.zeros((px, px), dtype=np.int64)
+        grid[(y % px).astype(int), (x % px).astype(int)] = pdf["n_images"].to_numpy()
+        return pd.DataFrame(
+            {
+                "tile": [tile],
+                "tile_px": [px],
+                "n_cells": [len(pdf)],
+                "n_images": [int(pdf["n_images"].sum())],
+                "raster": [grid.ravel().tolist()],
+            }
+        )
+
+    schema = "tile long, tile_px int, n_cells int, n_images long, raster array<long>"
+    return with_tile.groupBy("tile").applyInPandas(render, schema=schema)

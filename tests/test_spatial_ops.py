@@ -1,0 +1,139 @@
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from batch_geocode_spark import datagen
+from batch_geocode_spark.functions.cells import np_cell_encode
+from batch_geocode_spark.functions.geo import np_haversine_km
+from batch_geocode_spark.operators import geocode as G
+from batch_geocode_spark.operators import knn, pip, rollups, tiles
+
+
+@pytest.fixture(scope="module")
+def geo(spark):
+    images = datagen.images_to_spark(spark, 300, with_bytes=False)
+    gaz = datagen.gazetteer_to_spark(spark)
+    vetted, best = G.geocode_images(images, gaz)
+    vetted = vetted.cache()
+    best = best.cache()
+    return images, gaz, vetted, best
+
+
+# ------------------------------------------------------------------ tiles
+def test_cell_density_salted_equals_plain(geo):
+    _, _, _, best = geo
+    plain = tiles.cell_density(best, res=9).toPandas().sort_values("cell")
+    salted = tiles.cell_density(best, res=9, salt_buckets=8, distinct_col="image_id")
+    salted = salted.toPandas().sort_values("cell")
+    assert plain["cell"].tolist() == salted["cell"].tolist()
+    assert plain["n_images"].tolist() == salted["n_images"].tolist()
+
+
+def test_raster_tiles(geo):
+    _, _, _, best = geo
+    density = tiles.cell_density(best, res=9)
+    rast = tiles.assemble_raster_tiles(density, res=9, tile_res=6).toPandas()
+    assert (rast["tile_px"] == 8).all()
+    assert all(len(r) == 64 for r in rast["raster"])
+    # mass conservation: raster sums equal density sums
+    assert rast["n_images"].sum() == density.toPandas()["n_images"].sum()
+    assert all(sum(r) == n for r, n in zip(rast["raster"], rast["n_images"]))
+
+
+def test_density_rollup_conserves_mass(geo):
+    _, _, _, best = geo
+    density = tiles.cell_density(best, res=9)
+    rolled = rollups.density_rollup(density, res=9, parent_res=4).toPandas()
+    assert rolled["n_images"].sum() == density.toPandas()["n_images"].sum()
+
+
+# -------------------------------------------------------------------- PIP
+def test_pip_join_matches_bbox_oracle(spark, geo):
+    _, _, _, best = geo
+    polys = datagen.admin_polygons_to_spark(spark)
+    got = (
+        pip.pip_join(best, polys, res=6)
+        .toPandas()
+        .sort_values(["pt_id", "admin_id"])
+        .reset_index(drop=True)
+    )
+    # oracle: rectangles → bbox containment with the same half-open edges
+    bp = best.toPandas()
+    pp = datagen.make_admin_polygons()
+    rows = []
+    for b in bp.itertuples():
+        for p in pp.itertuples():
+            if (p.bb_w <= b.best_long < p.bb_e) and (p.bb_s <= b.best_lat < p.bb_n):
+                rows.append((b.image_id, p.admin_id))
+    want = pd.DataFrame(rows, columns=["pt_id", "admin_id"]).sort_values(
+        ["pt_id", "admin_id"]
+    ).reset_index(drop=True)
+    got_pairs = got[["pt_id", "admin_id"]].reset_index(drop=True)
+    assert got_pairs.equals(want)
+    # every matched point lands in exactly one level-0 and one level-1 polygon
+    lvl = got.groupby(["pt_id", "admin_id"]).size()
+    assert (lvl == 1).all()
+
+
+def test_pip_ray_casting_concave():
+    # concave "L" polygon with a hole — beyond what rectangles exercise
+    outer = [(0, 0), (4, 0), (4, 4), (2, 4), (2, 2), (0, 2), (0, 0)]
+    hole = [(0.5, 0.5), (1.5, 0.5), (1.5, 1.5), (0.5, 1.5), (0.5, 0.5)]
+    rings = [
+        [{"x": float(x), "y": float(y)} for x, y in outer],
+        [{"x": float(x), "y": float(y)} for x, y in hole],
+    ]
+    px = np.array([1.0, 3.0, 3.0, 1.0, 5.0, 2.5])
+    py = np.array([1.0, 1.0, 3.0, 3.0, 1.0, 2.5])
+    got = pip._points_in_rings(px, py, rings)
+    # (1,1) in hole; (3,1) inside; (3,3) inside upper arm; (1,3) in the
+    # notch (outside); (5,1) outside; (2.5,2.5) inside
+    assert got.tolist() == [False, True, True, False, False, True]
+
+
+def test_admin_rollup(spark, geo):
+    _, _, _, best = geo
+    polys = datagen.admin_polygons_to_spark(spark)
+    matches = pip.pip_join(best, polys, res=6)
+    rolled = rollups.admin_rollup(matches).toPandas()
+    assert rolled["n_points"].sum() == matches.count()
+
+
+# -------------------------------------------------------------------- kNN
+def test_knn_within_image_matches_bruteforce(geo):
+    _, _, vetted, best = geo
+    got = knn.knn_within_image(vetted, best, k=3).toPandas()
+    vp = vetted.toPandas()
+    bp = best.toPandas().set_index("image_id")
+    for img, grp in got.groupby("image_id"):
+        cands = vp[vp.image_id == img]
+        b = bp.loc[img]
+        d = np_haversine_km(cands.cand_lat, cands.cand_lng, b.best_lat, b.best_long)
+        want = np.sort(d)[: len(grp)]
+        np.testing.assert_allclose(np.sort(grp["dist_km"].to_numpy()), want, atol=1e-9)
+    assert (got.groupby("image_id").size() <= 3).all()
+
+
+def test_knn_spatial_exact_within_ring(spark, geo):
+    _, gaz, _, best = geo
+    got = knn.knn_spatial(best.limit(50), gaz, k=3, res=6).toPandas()
+    bp = best.limit(50).toPandas()
+    gp = gaz.toPandas()
+    for img, grp in got.groupby("query_id"):
+        b = bp[bp.image_id == img].iloc[0]
+        d = np_haversine_km(gp.lat, gp.lng, b.best_lat, b.best_long)
+        # brute-force k nearest; engine is exact when kth nbr is inside the ring
+        kth = np.sort(d)[min(2, len(d) - 1)]
+        cell_width_km = 40075.0 / (2**6)
+        if kth < cell_width_km / 2:
+            np.testing.assert_allclose(
+                np.sort(grp["dist_km"].to_numpy()), np.sort(d)[: len(grp)], atol=1e-9
+            )
+
+
+def test_match_rate_by_source(geo):
+    images, _, vetted, _ = geo
+    mr = rollups.match_rate_by_source(images, vetted).toPandas()
+    assert set(mr["source"]) <= {"GM", "OSM", "GN", "FG"}
+    assert ((mr["match_rate"] > 0) & (mr["match_rate"] <= 1)).all()
