@@ -1,0 +1,697 @@
+"""Driver-contract query battery: every SURVEY.md §2 operator family as
+a named (Spark DataFrame, DuckDB oracle SQL) pair over the driver's
+parquet tables at /root/testdata/sf*.
+
+Design for cross-engine value-hash equality:
+- geo tables (gazetteer/images/admin grid) are DERIVED from the driver
+  tables with pure integer arithmetic shared verbatim between Spark SQL
+  and DuckDB (the *same SQL text* runs in both), so both engines see
+  bit-identical inputs;
+- double sums use exact DECIMAL accumulation cast back to DOUBLE
+  (parallel float summation order would otherwise drift vs DuckDB);
+- scalar geo doubles are rounded to 6 dp at the final projection only;
+- every window ORDER BY carries a unique tiebreak column.
+
+The Spark side of each geo query exercises the real engine operators
+(batch_geocode_spark.operators.*), not spark.sql of the oracle text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from batch_geocode_spark.functions.cells import cell_encode, cell_encode_sql
+from batch_geocode_spark.functions.geo import haversine_km, haversine_sql
+from batch_geocode_spark.operators import geocode as G
+from batch_geocode_spark.operators import knn as KNN
+from batch_geocode_spark.operators import pip as PIP
+from batch_geocode_spark.operators import rollups as R
+
+ALL_TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+TILE_RES = 9
+KNN_K = 3
+
+# ---------------------------------------------------------------------------
+# Shared derivation SQL (identical text runs in Spark SQL and DuckDB).
+# Place coordinates depend on the *place id* so the same place under
+# different sources is a few km apart (exercises buffer vet + composite).
+# ---------------------------------------------------------------------------
+_PID = "(s_suppkey % 50)"
+_LAT = f"((({_PID} * 7919) % 14000) / 100.0 - 70.0 + (s_suppkey % 7) / 1000.0)"
+_LNG = f"((({_PID} * 104729) % 35000) / 100.0 - 175.0 + (s_suppkey % 11) / 1000.0)"
+# % 5 = 4 so oversize bboxes land on caption-reachable places (pid%10<8)
+_HALF = "(CASE WHEN s_suppkey % 5 = 4 THEN 0.3 ELSE 0.01 END)"
+_HASBB = "(s_suppkey % 4 <= 1)"  # GM, OSM carry bboxes; GN/FG point-only
+
+GAZ_SQL = f"""
+SELECT
+  s_suppkey AS gaz_id,
+  concat('placeville ', CAST({_PID} AS STRING)) AS name,
+  concat('placeville ', CAST({_PID} AS STRING)) AS name_norm,
+  CASE CAST(s_suppkey % 4 AS INT) WHEN 0 THEN 'GM' WHEN 1 THEN 'OSM'
+       WHEN 2 THEN 'GN' ELSE 'FG' END AS source,
+  CAST(s_suppkey % 2 AS INT) + 1 AS api_rank,
+  {_LAT} AS lat,
+  {_LNG} AS lng,
+  CASE WHEN {_HASBB} THEN {_LNG} - {_HALF} END AS bb_w,
+  CASE WHEN {_HASBB} THEN {_LAT} - {_HALF} END AS bb_s,
+  CASE WHEN {_HASBB} THEN {_LNG} + {_HALF} END AS bb_e,
+  CASE WHEN {_HASBB} THEN {_LAT} + {_HALF} END AS bb_n,
+  CASE CAST({_PID} % 3 AS INT) WHEN 0 THEN 'locality' WHEN 1 THEN 'admin'
+       ELSE 'populated place' END AS loc_type,
+  concat('c', CAST({_PID} % 10 AS STRING)) AS iso2
+FROM supplier
+"""
+
+IMAGES_SQL = """
+SELECT
+  concat('img', CAST(o_orderkey AS STRING)) AS image_id,
+  CASE WHEN o_orderkey % 10 < 8
+    THEN concat('A photo of a scene near placeville ',
+                CAST(o_orderkey % 50 AS STRING), ', somewhere')
+    ELSE 'A photo of an empty field' END AS caption
+FROM orders
+"""
+
+# 5×5 world grid of admin rectangles from nation; +0.0005 offset keeps
+# every derived coordinate (multiples of 0.001) off polygon boundaries
+ADMIN_SQL = """
+SELECT
+  n_nationkey AS admin_id,
+  concat('c', CAST(n_nationkey % 10 AS STRING)) AS iso2,
+  0 AS admin_level,
+  n_name AS name,
+  CAST(-180.0 + 0.0005 + (n_nationkey % 5) * 72.0 AS DOUBLE) AS bb_w,
+  CAST(-180.0 + 0.0005 + (n_nationkey % 5) * 72.0 + 72.0 AS DOUBLE) AS bb_e,
+  CAST(-90.0 + 0.0005 + CAST(floor(n_nationkey / 5.0) AS BIGINT) * 36.0 AS DOUBLE) AS bb_s,
+  CAST(-90.0 + 0.0005 + CAST(floor(n_nationkey / 5.0) AS BIGINT) * 36.0 + 36.0 AS DOUBLE) AS bb_n
+FROM nation
+"""
+
+_HAV_MINMAX = haversine_sql("min_lat", "min_lng", "max_lat", "max_lng")
+
+# the vetted-candidates CTE chain — mirrors operators/geocode.py exactly
+GEO_CTES = f"""
+WITH gaz AS ({GAZ_SQL}),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY name_norm, source
+                               ORDER BY api_rank, gaz_id) AS rank
+  FROM gaz
+),
+geom AS (
+  SELECT *,
+    CASE WHEN bb_w IS NOT NULL THEN 2 ELSE 1 END AS n_pts,
+    COALESCE(bb_w, lng) AS min_lng, COALESCE(bb_e, lng) AS max_lng,
+    COALESCE(bb_s, lat) AS min_lat, COALESCE(bb_n, lat) AS max_lat
+  FROM ranked WHERE rank <= 2
+),
+geom2 AS (
+  SELECT *,
+    min_lng + CASE WHEN n_pts = 2 THEN max_lng ELSE 0.0 END AS sum_lng,
+    min_lat + CASE WHEN n_pts = 2 THEN max_lat ELSE 0.0 END AS sum_lat,
+    {_HAV_MINMAX} AS buffer
+  FROM geom
+),
+images AS ({IMAGES_SQL}),
+keyed AS (
+  SELECT image_id,
+         lower(trim(regexp_extract(caption, 'near ([^,]+)', 1))) AS loc_key
+  FROM images
+  WHERE regexp_extract(caption, 'near ([^,]+)', 1) <> ''
+),
+vetted AS (
+  SELECT k.image_id, g.*
+  FROM keyed k JOIN geom2 g ON k.loc_key = g.name_norm
+  WHERE g.buffer <= 15.0
+),
+best AS (
+  SELECT image_id,
+    'Vetted' AS best_name,
+    concat('Composite of ', CAST(count(*) AS STRING), ' geocoded locations') AS best_type,
+    sum(sum_lat) / sum(n_pts) AS best_lat,
+    sum(sum_lng) / sum(n_pts) AS best_long,
+    {haversine_sql("min(min_lat)", "min(min_lng)", "max(max_lat)", "max(max_lng)")} AS best_buffer,
+    count(*) AS num_valid
+  FROM vetted
+  GROUP BY image_id
+  HAVING {haversine_sql("min(min_lat)", "min(min_lng)", "max(max_lat)", "max(max_lng)")} <= 15.0
+)
+"""
+
+
+def _views(spark: SparkSession, sf_dir: str) -> None:
+    for t in ALL_TABLES:
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+
+
+def _gaz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir)
+    return spark.sql(GAZ_SQL)
+
+
+def _images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir)
+    return spark.sql(IMAGES_SQL)
+
+
+def _admin_polys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir)
+    rect = spark.sql(ADMIN_SQL)
+    ring = F.array(
+        F.struct(F.col("bb_w").alias("x"), F.col("bb_s").alias("y")),
+        F.struct(F.col("bb_e").alias("x"), F.col("bb_s").alias("y")),
+        F.struct(F.col("bb_e").alias("x"), F.col("bb_n").alias("y")),
+        F.struct(F.col("bb_w").alias("x"), F.col("bb_n").alias("y")),
+        F.struct(F.col("bb_w").alias("x"), F.col("bb_s").alias("y")),
+    )
+    return rect.withColumn("rings", F.array(ring))
+
+
+def _geocoded(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    images = _images(spark, sf_dir)
+    gaz = _gaz(spark, sf_dir)
+    return G.geocode_images(images, gaz)
+
+
+def _dec_sum(col, alias):
+    """Exact decimal accumulation → double (deterministic across engines)."""
+    return (
+        F.sum(F.col(col).cast("decimal(18,2)")).cast("double").alias(alias)
+    )
+
+
+# ===========================================================================
+# TPC-H-style operator family (scans, filters, joins, aggs, windows, sets)
+# ===========================================================================
+def q01_pricing_summary(spark, sf_dir):
+    """A1/A4-family groupBy aggregate (SURVEY §2.4)."""
+    _views(spark, sf_dir)
+    li = spark.table("lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dec_sum("l_quantity", "sum_qty"),
+            _dec_sum("l_extendedprice", "sum_base_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q02_top_orders_per_customer(spark, sf_dir):
+    """W1/O3 window top-k per group (SURVEY §2.5/2.6)."""
+    _views(spark, sf_dir)
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    top = (
+        spark.table("orders")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+    )
+    cust = spark.table("customer")
+    return top.join(F.broadcast(cust), top.o_custkey == cust.c_custkey).select(
+        "o_custkey", "c_name", "o_orderkey", "o_totalprice", "rn"
+    )
+
+
+def q03_priority_with_big_items(spark, sf_dir):
+    """J-family left-semi join (EXISTS)."""
+    _views(spark, sf_dir)
+    big = spark.table("lineitem").filter(F.col("l_quantity") > 45).select("l_orderkey")
+    return (
+        spark.table("orders")
+        .join(big, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+def q04_customers_without_orders(spark, sf_dir):
+    """J4 anti-join (reference ISO2 validation pattern, utilities.py:107-118)."""
+    _views(spark, sf_dir)
+    return (
+        spark.table("customer")
+        .join(
+            spark.table("orders"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+def q05_revenue_by_nation(spark, sf_dir):
+    """Multi-join + aggregate (broadcast dims)."""
+    _views(spark, sf_dir)
+    rev = (
+        spark.table("orders")
+        .join(F.broadcast(spark.table("customer")), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(spark.table("nation")), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(_dec_sum("o_totalprice", "revenue"), F.count(F.lit(1)).alias("n_orders"))
+    )
+    return rev
+
+
+def q06_filtered_revenue(spark, sf_dir):
+    """P-family selective filter + projection (pushdown showcase)."""
+    _views(spark, sf_dir)
+    li = spark.table("lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+        & (F.col("l_discount").between(0.05, 0.07))
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.round(
+            F.sum(
+                (F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(18,6)")
+            ).cast("double"),
+            4,
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def q07_segment_set_ops(spark, sf_dir):
+    """U-family: union ∪, except (SURVEY §2.7)."""
+    _views(spark, sf_dir)
+    c = spark.table("customer")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = c.filter(F.col("c_mktsegment") == "AUTOMOBILE").select("c_custkey")
+    rich = c.filter(F.col("c_acctbal") > 9000).select("c_custkey")
+    return a.union(b).exceptAll(rich).distinct()
+
+
+def q08_rollup_orders(spark, sf_dir):
+    """Rollup aggregate (extension beyond reference; Catalyst-native)."""
+    _views(spark, sf_dir)
+    return (
+        spark.table("orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q09_events_hourly(spark, sf_dir):
+    """Event-time tumbling window aggregate over the events table."""
+    _views(spark, sf_dir)
+    ev = spark.table("events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).cast("string").alias("hour"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+def q10_json_props(spark, sf_dir):
+    """F10 JSON parse (reference query_funcs.py:373,425,454)."""
+    _views(spark, sf_dir)
+    ev = spark.table("events").withColumn(
+        "k", F.get_json_object(F.col("props"), "$.k").cast("int")
+    )
+    return ev.groupBy("event_type").agg(
+        F.round(F.avg("k"), 6).alias("avg_k"), F.max("k").alias("max_k")
+    )
+
+
+# ===========================================================================
+# Geo family — derived tables, Spark side runs the real engine operators
+# ===========================================================================
+def g01_vetted_candidates(spark, sf_dir):
+    """J1 broadcast gazetteer join + A4 top-k + P6 buffer vet."""
+    vetted, _ = _geocoded(spark, sf_dir)
+    return vetted.select(
+        "image_id",
+        "gaz_id",
+        "source",
+        "rank",
+        F.round("cand_lat", 6).alias("cand_lat"),
+        F.round("cand_lng", 6).alias("cand_lng"),
+        F.round("buffer", 6).alias("buffer"),
+    )
+
+
+def g02_composite_best(spark, sf_dir):
+    """A3 composite-best aggregate (reference query_funcs.py:193-219)."""
+    _, best = _geocoded(spark, sf_dir)
+    return best.select(
+        "image_id",
+        "best_name",
+        "best_type",
+        F.round("best_lat", 6).alias("best_lat"),
+        F.round("best_long", 6).alias("best_long"),
+        F.round("best_buffer", 6).alias("best_buffer"),
+        "num_valid",
+    )
+
+
+def g03_cell_assign(spark, sf_dir):
+    """F20 cell encoding of best points (pure Column arithmetic)."""
+    _, best = _geocoded(spark, sf_dir)
+    return best.select(
+        "image_id",
+        cell_encode(F.col("best_lat"), F.col("best_long"), TILE_RES).alias("cell"),
+    )
+
+
+def g04_tile_density(spark, sf_dir):
+    """A7 per-cell density aggregate."""
+    from batch_geocode_spark.operators import tiles as T
+
+    _, best = _geocoded(spark, sf_dir)
+    return T.cell_density(best, res=TILE_RES)
+
+
+def g05_admin_pip(spark, sf_dir):
+    """J5 point-in-polygon join (cell-cover prefilter + exact ray cast)."""
+    _, best = _geocoded(spark, sf_dir)
+    polys = _admin_polys(spark, sf_dir)
+    m = PIP.pip_join(best, polys, res=4)
+    return m.select("pt_id", "admin_id", "iso2", "name")
+
+
+def g06_admin_rollup(spark, sf_dir):
+    """A6 admin-level rollup of PIP matches."""
+    _, best = _geocoded(spark, sf_dir)
+    polys = _admin_polys(spark, sf_dir)
+    m = PIP.pip_join(best, polys, res=4)
+    return R.admin_rollup(m).select("iso2", "name", "n_points")
+
+
+def g07_match_rate(spark, sf_dir):
+    """A6 match-rate by source summary statistic."""
+    images = _images(spark, sf_dir)
+    vetted, _ = _geocoded(spark, sf_dir)
+    return R.match_rate_by_source(images, vetted)
+
+
+def g08_knn_within_image(spark, sf_dir):
+    """J6 kNN candidate matching across sources (single-shuffle window plan)."""
+    images = _images(spark, sf_dir)
+    gaz = _gaz(spark, sf_dir)
+    vetted = G.vet_candidates(G.build_candidates(images, gaz))
+    k = KNN.knn_within_image(vetted, k=KNN_K)
+    return k.select(
+        "image_id",
+        "source",
+        "rank",
+        F.round("dist_km", 6).alias("dist_km"),
+        "knn_rank",
+    )
+
+
+def g09_dropped_by_vet(spark, sf_dir):
+    """P6 complement: candidates rejected by the buffer filter."""
+    images = _images(spark, sf_dir)
+    gaz = _gaz(spark, sf_dir)
+    cands = G.build_candidates(images, gaz)
+    return (
+        cands.filter(F.col("buffer") > G.DEFAULT_MAX_BUFFER_KM)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_dropped"))
+    )
+
+
+# ===========================================================================
+# Text / dedup / similarity family (documents + embeddings tables)
+# ===========================================================================
+def d01_exact_dup_groups(spark, sf_dir):
+    """Exact dedup: hash-groupBy on document text."""
+    _views(spark, sf_dir)
+    return (
+        spark.table("documents")
+        .groupBy(F.md5(F.col("text")).alias("text_hash"))
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
+    )
+
+
+def d02_text_quality(spark, sf_dir):
+    """Text quality scoring: token count, stopword ratio, length."""
+    _views(spark, sf_dir)
+    d = spark.table("documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    stop = F.size(F.filter(toks, lambda t: (t == "the") | (t == "a")))
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars_actual"),
+        F.size(toks).alias("n_tokens"),
+        F.round(stop / F.size(toks), 6).alias("stopword_ratio"),
+    )
+
+
+def d03_lang_source_profile(spark, sf_dir):
+    """Corpus profile: docs + mean length per (lang, source)."""
+    _views(spark, sf_dir)
+    return (
+        spark.table("documents")
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        )
+    )
+
+
+def e01_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k similarity search vs query vector 0."""
+    _views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").head()
+    qvec = [float(x) for x in qrow["embedding"]]
+    q = F.array(*[F.lit(x) for x in qvec])
+    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    dot = F.aggregate(
+        F.zip_with(e, q, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    nrm = F.sqrt(F.aggregate(e, F.lit(0.0), lambda acc, x: acc + x * x))
+    qn = float(sum(x * x for x in qvec)) ** 0.5
+    sim = dot / (nrm * F.lit(qn))
+    ranked = (
+        emb.filter(F.col("vec_id") != 0)
+        .select("vec_id", "label", F.round(sim, 4).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(20)
+    )
+    return ranked
+
+
+# ===========================================================================
+# oracle SQL (DuckDB dialect where it must differ; shared text elsewhere)
+# ===========================================================================
+def _oracle_geo(select: str) -> str:
+    return GEO_CTES + select
+
+
+ORACLES: dict[str, str] = {
+    "q01_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+          ROUND(AVG(l_discount), 6) AS avg_disc,
+          COUNT(*) AS count_order
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "q02_top_orders_per_customer": """
+        WITH ranked AS (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+          FROM orders)
+        SELECT o_custkey, c_name, o_orderkey, o_totalprice, rn
+        FROM ranked JOIN customer ON o_custkey = c_custkey
+        WHERE rn <= 3
+    """,
+    "q03_priority_with_big_items": """
+        SELECT o_orderpriority, COUNT(*) AS n_orders
+        FROM orders
+        WHERE EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+        GROUP BY o_orderpriority
+    """,
+    "q04_customers_without_orders": """
+        SELECT c_mktsegment, COUNT(*) AS n_customers
+        FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        GROUP BY c_mktsegment
+    """,
+    "q05_revenue_by_nation": """
+        SELECT n_name,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+          COUNT(*) AS n_orders
+        FROM orders JOIN customer ON o_custkey = c_custkey
+                    JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    """,
+    "q06_filtered_revenue": """
+        SELECT
+          ROUND(CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE), 4) AS revenue,
+          COUNT(*) AS n_items
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+    """,
+    "q07_segment_set_ops": """
+        SELECT DISTINCT c_custkey FROM (
+          SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+          UNION ALL
+          SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+        ) EXCEPT SELECT c_custkey FROM customer WHERE c_acctbal > 9000
+    """,
+    "q08_rollup_orders": """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    """,
+    "q09_events_hourly": """
+        SELECT CAST(date_trunc('hour', ts) AS STRING) AS hour, event_type,
+          COUNT(*) AS n_events,
+          CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1, 2
+    """,
+    "q10_json_props": """
+        SELECT event_type,
+          ROUND(AVG(CAST(json_extract_string(props, '$.k') AS INT)), 6) AS avg_k,
+          MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+        FROM events GROUP BY event_type
+    """,
+    "g01_vetted_candidates": _oracle_geo("""
+        SELECT image_id, gaz_id, source, rank,
+          ROUND(sum_lat / n_pts, 6) AS cand_lat,
+          ROUND(sum_lng / n_pts, 6) AS cand_lng,
+          ROUND(buffer, 6) AS buffer
+        FROM vetted
+    """),
+    "g02_composite_best": _oracle_geo("""
+        SELECT image_id, best_name, best_type,
+          ROUND(best_lat, 6) AS best_lat,
+          ROUND(best_long, 6) AS best_long,
+          ROUND(best_buffer, 6) AS best_buffer,
+          num_valid
+        FROM best
+    """),
+    "g03_cell_assign": _oracle_geo(
+        f"SELECT image_id, {cell_encode_sql('best_lat', 'best_long', TILE_RES)} AS cell FROM best"
+    ),
+    "g04_tile_density": _oracle_geo(
+        f"""
+        SELECT {cell_encode_sql('best_lat', 'best_long', TILE_RES)} AS cell,
+               COUNT(*) AS n_images
+        FROM best GROUP BY 1
+    """
+    ),
+    "g05_admin_pip": _oracle_geo(f"""
+        SELECT b.image_id AS pt_id, a.admin_id, a.iso2, a.name
+        FROM best b JOIN ({ADMIN_SQL}) a
+          ON b.best_long >= a.bb_w AND b.best_long < a.bb_e
+         AND b.best_lat >= a.bb_s AND b.best_lat < a.bb_n
+    """),
+    "g06_admin_rollup": _oracle_geo(f"""
+        SELECT a.iso2, a.name, COUNT(*) AS n_points
+        FROM best b JOIN ({ADMIN_SQL}) a
+          ON b.best_long >= a.bb_w AND b.best_long < a.bb_e
+         AND b.best_lat >= a.bb_s AND b.best_lat < a.bb_n
+        GROUP BY a.iso2, a.name
+    """),
+    "g07_match_rate": _oracle_geo("""
+        SELECT source,
+          COUNT(DISTINCT image_id) AS n_matched,
+          (SELECT COUNT(*) FROM images) AS n_images,
+          ROUND(COUNT(DISTINCT image_id) * 1.0 / (SELECT COUNT(*) FROM images), 6) AS match_rate
+        FROM vetted GROUP BY source
+    """),
+    "g08_knn_within_image": _oracle_geo(f"""
+        SELECT image_id, source, rank, dist_km, knn_rank FROM (
+          SELECT v.image_id, v.source, v.rank,
+            ROUND({haversine_sql("v.sum_lat / v.n_pts", "v.sum_lng / v.n_pts", "b.best_lat", "b.best_long")}, 6) AS dist_km,
+            row_number() OVER (PARTITION BY v.image_id
+              ORDER BY {haversine_sql("v.sum_lat / v.n_pts", "v.sum_lng / v.n_pts", "b.best_lat", "b.best_long")},
+                       v.source, v.rank) AS knn_rank
+          FROM vetted v JOIN best b ON v.image_id = b.image_id
+        ) WHERE knn_rank <= {KNN_K}
+    """),
+    "g09_dropped_by_vet": _oracle_geo("""
+        SELECT g.source, COUNT(*) AS n_dropped
+        FROM keyed k JOIN geom2 g ON k.loc_key = g.name_norm
+        WHERE g.buffer > 15.0
+        GROUP BY g.source
+    """),
+    "d01_exact_dup_groups": """
+        SELECT md5(text) AS text_hash, COUNT(*) AS n_docs, MIN(doc_id) AS keep_doc_id
+        FROM documents GROUP BY 1
+    """,
+    "d02_text_quality": r"""
+        SELECT doc_id,
+          length(text) AS n_chars_actual,
+          len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+          ROUND(len(list_filter(string_split_regex(trim(text), '\s+'),
+                                t -> t = 'the' OR t = 'a'))
+                * 1.0 / len(string_split_regex(trim(text), '\s+')), 6) AS stopword_ratio
+        FROM documents
+    """,
+    "d03_lang_source_profile": """
+        SELECT lang, source, COUNT(*) AS n_docs, ROUND(AVG(n_chars), 6) AS avg_chars
+        FROM documents GROUP BY lang, source
+    """,
+    "e01_cosine_topk": """
+        WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+        SELECT vec_id, label,
+          ROUND(
+            list_sum(list_transform(range(1, len(embedding) + 1),
+              i -> CAST(embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+            / (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+               * sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+          4) AS cos_sim
+        FROM embeddings, q
+        WHERE vec_id <> 0
+        ORDER BY cos_sim DESC, vec_id ASC
+        LIMIT 20
+    """,
+}
+
+QUERIES = {
+    "q01_pricing_summary": q01_pricing_summary,
+    "q02_top_orders_per_customer": q02_top_orders_per_customer,
+    "q03_priority_with_big_items": q03_priority_with_big_items,
+    "q04_customers_without_orders": q04_customers_without_orders,
+    "q05_revenue_by_nation": q05_revenue_by_nation,
+    "q06_filtered_revenue": q06_filtered_revenue,
+    "q07_segment_set_ops": q07_segment_set_ops,
+    "q08_rollup_orders": q08_rollup_orders,
+    "q09_events_hourly": q09_events_hourly,
+    "q10_json_props": q10_json_props,
+    "g01_vetted_candidates": g01_vetted_candidates,
+    "g02_composite_best": g02_composite_best,
+    "g03_cell_assign": g03_cell_assign,
+    "g04_tile_density": g04_tile_density,
+    "g05_admin_pip": g05_admin_pip,
+    "g06_admin_rollup": g06_admin_rollup,
+    "g07_match_rate": g07_match_rate,
+    "g08_knn_within_image": g08_knn_within_image,
+    "g09_dropped_by_vet": g09_dropped_by_vet,
+    "d01_exact_dup_groups": d01_exact_dup_groups,
+    "d02_text_quality": d02_text_quality,
+    "d03_lang_source_profile": d03_lang_source_profile,
+    "e01_cosine_topk": e01_cosine_topk,
+}

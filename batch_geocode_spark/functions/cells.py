@@ -138,6 +138,7 @@ def np_cell_neighbors(cell_id: int):
 
 def np_polyfill_bbox(w: float, s: float, e: float, n: float, res: int):
     """All cells at ``res`` intersecting the bbox (vectorized meshgrid)."""
+    w, s, e, n = float(w), float(s), float(e), float(n)
     grid = 2**res
     x0 = int(np.clip(np.floor((w + 180.0) / 360.0 * grid), 0, grid - 1))
     x1 = int(np.clip(np.floor((e + 180.0) / 360.0 * grid), 0, grid - 1))

@@ -27,19 +27,43 @@ from batch_geocode_spark.functions.cells import np_cell_encode, np_cell_neighbor
 from batch_geocode_spark.functions.geo import haversine_km
 
 
-def knn_within_image(vetted: DataFrame, best: DataFrame, k: int = 3) -> DataFrame:
-    """k nearest candidates (across sources) to each image's best point."""
-    joined = vetted.join(
-        best.select("image_id", "best_lat", "best_long"), "image_id", "inner"
-    ).withColumn(
-        "dist_km",
-        haversine_km(
-            F.col("cand_lat"), F.col("cand_lng"), F.col("best_lat"), F.col("best_long")
-        ),
+def knn_within_image(
+    vetted: DataFrame, k: int = 3, max_buffer: float = 15.0
+) -> DataFrame:
+    """k nearest candidates (across sources) to each image's composite-best
+    point.
+
+    Single-pass plan: the best point is computed with window aggregates
+    over the same image_id partitioning the rank window needs, so the
+    whole operator costs ONE shuffle — no join back to a recomputed
+    composite_best DAG.
+    """
+    w_img = W.partitionBy("image_id")
+    diag = haversine_km(
+        F.min("min_lat").over(w_img),
+        F.min("min_lng").over(w_img),
+        F.max("max_lat").over(w_img),
+        F.max("max_lng").over(w_img),
+    )
+    with_best = (
+        vetted.withColumn(
+            "best_lat", F.sum("sum_lat").over(w_img) / F.sum("n_pts").over(w_img)
+        )
+        .withColumn(
+            "best_long", F.sum("sum_lng").over(w_img) / F.sum("n_pts").over(w_img)
+        )
+        .withColumn("best_diag", diag)
+        .filter(F.col("best_diag") <= F.lit(max_buffer))
+        .withColumn(
+            "dist_km",
+            haversine_km(
+                F.col("cand_lat"), F.col("cand_lng"), F.col("best_lat"), F.col("best_long")
+            ),
+        )
     )
     w = W.partitionBy("image_id").orderBy("dist_km", "source", "rank")
     return (
-        joined.withColumn("knn_rank", F.row_number().over(w))
+        with_best.withColumn("knn_rank", F.row_number().over(w))
         .filter(F.col("knn_rank") <= k)
         .select(
             "image_id", "source", "rank", "cand_lat", "cand_lng", "dist_km", "knn_rank"

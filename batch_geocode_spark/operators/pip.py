@@ -28,8 +28,32 @@ from pyspark.sql import functions as F
 from batch_geocode_spark.functions.cells import cell_encode, np_polyfill_bbox
 
 
-def polygon_cell_cover(polygons: DataFrame, res: int) -> DataFrame:
-    """(admin_id, cell) for every res-cell intersecting each polygon bbox."""
+def polygon_cell_cover(
+    polygons: DataFrame, res: int, driver_side: bool = True
+) -> DataFrame:
+    """(admin_id, cell) for every res-cell intersecting each polygon bbox.
+
+    The polygon side is broadcast downstream, so it is small by design;
+    ``driver_side=True`` computes the cover with driver numpy (4 doubles
+    per polygon in, no Python-worker stage). Set False to distribute via
+    mapInPandas for very large polygon sets.
+    """
+    bbox_only = polygons.select("admin_id", "bb_w", "bb_s", "bb_e", "bb_n")
+
+    if driver_side:
+        pdf = bbox_only.toPandas()
+        ids, cells_out = [], []
+        for row in pdf.itertuples():
+            cc = np_polyfill_bbox(row.bb_w, row.bb_s, row.bb_e, row.bb_n, res)
+            ids.append(np.full(len(cc), row.admin_id, dtype=np.int64))
+            cells_out.append(cc)
+        out = pd.DataFrame(
+            {
+                "admin_id": np.concatenate(ids) if ids else np.asarray([], dtype=np.int64),
+                "cell": np.concatenate(cells_out) if ids else np.asarray([], dtype=np.int64),
+            }
+        )
+        return polygons.sparkSession.createDataFrame(out, schema="admin_id long, cell long")
 
     def cover(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -43,9 +67,7 @@ def polygon_cell_cover(polygons: DataFrame, res: int) -> DataFrame:
                     {"admin_id": np.concatenate(ids), "cell": np.concatenate(cells_out)}
                 )
 
-    return polygons.select("admin_id", "bb_w", "bb_s", "bb_e", "bb_n").mapInPandas(
-        cover, schema="admin_id long, cell long"
-    )
+    return bbox_only.mapInPandas(cover, schema="admin_id long, cell long")
 
 
 def _points_in_rings(px: np.ndarray, py: np.ndarray, rings) -> np.ndarray:

@@ -1,0 +1,80 @@
+"""Per-round benchmark: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "images_per_sec": ...}
+
+The flagship job (geocode_tile) is the BASELINE.json metric: end-to-end
+broadcast gazetteer join + vet + composite-best + cell assignment +
+per-cell density over the derived image+caption table.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from batch_geocode_spark import entry_queries as EQ  # noqa: E402
+from batch_geocode_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "g02_composite_best",
+    "g04_tile_density",
+    "g05_admin_pip",
+    "g08_knn_within_image",
+    "q01_pricing_summary",
+    "q05_revenue_by_nation",
+    "e01_cosine_topk",
+]
+
+
+def run(sf_dir: str, cpus: str) -> dict:
+    spark = get_spark(master=f"local[{cpus}]", app_name="bench")
+    # warm the JVM (codegen, broadcast machinery, parquet footers) once so
+    # timings measure steady-state query cost, not first-run JIT
+    EQ._views(spark, sf_dir)
+    spark.table("orders").count()
+    EQ.g03_cell_assign(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = EQ.QUERIES[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        _ = n
+
+    # flagship throughput: images/sec through geocode → cell → density
+    n_images = spark.sql(EQ.IMAGES_SQL).count()
+    t0 = time.perf_counter()
+    EQ.g04_tile_density(spark, sf_dir).collect()
+    flagship_sec = time.perf_counter() - t0
+    spark.stop()
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    return {
+        "metric": "headline suite wall time (flagship: geocoded images/sec)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+        "n_images": n_images,
+        "flagship_sec": round(flagship_sec, 3),
+        "images_per_sec": round(n_images / flagship_sec, 1),
+        "cpus": int(cpus),
+    }
+
+
+if __name__ == "__main__":
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    print(json.dumps(run(sf_dir, cpus)))

@@ -103,7 +103,7 @@ def test_admin_rollup(spark, geo):
 # -------------------------------------------------------------------- kNN
 def test_knn_within_image_matches_bruteforce(geo):
     _, _, vetted, best = geo
-    got = knn.knn_within_image(vetted, best, k=3).toPandas()
+    got = knn.knn_within_image(vetted, k=3).toPandas()
     vp = vetted.toPandas()
     bp = best.toPandas().set_index("image_id")
     for img, grp in got.groupby("image_id"):
