@@ -1,0 +1,152 @@
+"""Snapshot/manifest checkpoint-resume layer (north_rule).
+
+No Iceberg jars are available in this environment, so the engine
+implements the same *semantics* over partitioned parquet + a JSON
+manifest commit log:
+
+- data laid out as ``data/bucket=N/*.parquet`` where bucket =
+  pmod(xxhash64(key), n_buckets) — deterministic per row key, so a
+  re-run produces identical partitioning (required for idempotence;
+  never monotonically_increasing_id, see SURVEY.md §1.4).
+- a snapshot = JSON manifest listing committed buckets with per-bucket
+  row counts + lineage (parent snapshot id, job id). Manifests are
+  written temp-then-rename; ``CURRENT`` is updated last → atomic commit.
+- writes use Spark dynamic partition overwrite, so a crash mid-group
+  leaves partially-written bucket dirs that the retry simply overwrites.
+- resume = read CURRENT → committed bucket set → process only pending
+  buckets → commit a child snapshot.
+
+Reference contrast: the reference has no checkpointing at all — a crash
+restarts the whole CSV (SURVEY.md §4 'checkpoint/resume' row).
+
+Swap-in path for real Iceberg: replace SnapshotTable with a catalog
+table and ``df.writeTo(tbl).overwritePartitions()``; the job logic
+(bucket groups, resume filter) is unchanged.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def bucket_expr(key_col: str, n_buckets: int):
+    return F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).cast("int")
+
+
+class SnapshotTable:
+    """A directory-backed table with an atomic snapshot commit log."""
+
+    def __init__(self, root: str):
+        self.root = root
+        self.data_dir = os.path.join(root, "data")
+        self.manifest_dir = os.path.join(root, "_manifests")
+        os.makedirs(self.data_dir, exist_ok=True)
+        os.makedirs(self.manifest_dir, exist_ok=True)
+
+    # ------------------------------------------------------------- manifest
+    def current(self) -> dict | None:
+        cur = os.path.join(self.manifest_dir, "CURRENT")
+        if not os.path.exists(cur):
+            return None
+        with open(cur) as f:
+            name = f.read().strip()
+        with open(os.path.join(self.manifest_dir, name)) as f:
+            return json.load(f)
+
+    def committed_buckets(self) -> dict[int, int]:
+        """bucket -> row count across the whole committed lineage."""
+        snap = self.current()
+        return {int(k): v for k, v in (snap or {}).get("buckets", {}).items()}
+
+    def commit(self, new_buckets: dict[int, int], job_id: str, extra: dict | None = None) -> dict:
+        parent = self.current()
+        snap_id = (parent["snapshot_id"] + 1) if parent else 0
+        buckets = dict((parent or {}).get("buckets", {}))
+        buckets.update({str(b): int(n) for b, n in new_buckets.items()})
+        snap = {
+            "snapshot_id": snap_id,
+            "parent_id": parent["snapshot_id"] if parent else None,
+            "job_id": job_id,
+            "committed_at": time.time(),
+            "buckets": buckets,
+            "total_rows": int(sum(buckets.values())),
+            "metrics": extra or {},
+        }
+        name = f"snapshot-{snap_id:06d}.json"
+        tmp = os.path.join(self.manifest_dir, f".{name}.tmp")
+        with open(tmp, "w") as f:
+            json.dump(snap, f, indent=1)
+        os.replace(tmp, os.path.join(self.manifest_dir, name))
+        cur_tmp = os.path.join(self.manifest_dir, ".CURRENT.tmp")
+        with open(cur_tmp, "w") as f:
+            f.write(name)
+        os.replace(cur_tmp, os.path.join(self.manifest_dir, "CURRENT"))
+        return snap
+
+    def history(self) -> list[dict]:
+        names = sorted(
+            n for n in os.listdir(self.manifest_dir) if n.startswith("snapshot-")
+        )
+        out = []
+        for n in names:
+            with open(os.path.join(self.manifest_dir, n)) as f:
+                out.append(json.load(f))
+        return out
+
+    # ----------------------------------------------------------------- read
+    def read(self, spark: SparkSession) -> DataFrame:
+        """Committed rows only (uncommitted bucket dirs are invisible)."""
+        committed = sorted(self.committed_buckets())
+        if not committed:
+            raise ValueError(f"no committed snapshot in {self.root}")
+        df = spark.read.option("basePath", self.data_dir).parquet(
+            *[os.path.join(self.data_dir, f"bucket={b}") for b in committed]
+        )
+        return df
+
+
+def write_snapshotted(
+    df: DataFrame,
+    table: SnapshotTable,
+    key_col: str = "image_id",
+    n_buckets: int = 32,
+    group_size: int = 8,
+    job_id: str | None = None,
+    fail_after_groups: int | None = None,
+) -> dict:
+    """Write ``df`` into ``table`` in bucket groups, committing a snapshot
+    (with per-bucket row counts + lineage) after each group.
+
+    ``fail_after_groups`` injects a crash after N commits (tests).
+    Resume = call again with the same args: committed buckets are
+    skipped, pending ones recomputed and committed as child snapshots.
+    """
+    spark = df.sparkSession
+    job_id = job_id or uuid.uuid4().hex[:12]
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    bucketed = df.withColumn("bucket", bucket_expr(key_col, n_buckets))
+    done = set(table.committed_buckets())
+    pending = [b for b in range(n_buckets) if b not in done]
+    groups = [pending[i : i + group_size] for i in range(0, len(pending), group_size)]
+
+    last = table.current() or {}
+    for gi, group in enumerate(groups):
+        part = bucketed.filter(F.col("bucket").isin([int(b) for b in group]))
+        part.write.mode("overwrite").partitionBy("bucket").parquet(table.data_dir)
+        counts = {
+            int(r["bucket"]): int(r["count"])
+            for r in part.groupBy("bucket").count().collect()
+        }
+        for b in group:  # empty buckets still count as committed
+            counts.setdefault(int(b), 0)
+        last = table.commit(counts, job_id, extra={"group_index": gi, "group": list(group)})
+        if fail_after_groups is not None and gi + 1 >= fail_after_groups:
+            raise RuntimeError(f"injected failure after {gi + 1} group commits")
+    return last

@@ -1,0 +1,76 @@
+"""input_hint invariants over the binary image column: decoded-pixel
+fidelity (PSNR ≥ 40 dB for the lossy fmt), caption byte-equality through
+a full pipeline, phash integrity."""
+
+import numpy as np
+import pytest
+
+from batch_geocode_spark import codecs, datagen
+from batch_geocode_spark.operators import multimodal as MM
+
+N = 60
+
+
+@pytest.fixture(scope="module")
+def images(spark):
+    return datagen.images_to_spark(spark, N, with_bytes=True).cache()
+
+
+def test_validate_images_integrity(images):
+    got = MM.validate_images(images).toPandas()
+    assert len(got) == N
+    assert got["decode_ok"].all()
+    assert got["dims_ok"].all()
+    assert got["phash_match"].all()
+    assert (got["phash_hamming"] == 0).all()
+
+
+def test_lossy_psnr_floor_through_spark(images):
+    """Decode via the Spark pipeline and compare against regenerated
+    source pixels: PSNR ≥ 40 dB for dctq, exact for ppm."""
+    pdf = images.select("image_id", "bytes", "fmt").toPandas()
+    for r in pdf.itertuples():
+        i = int(r.image_id[3:])
+        src = _regen_pixels(i)
+        dec = codecs.decode_image(r.bytes, r.fmt)
+        if r.fmt == "ppm":
+            assert np.array_equal(dec, src)
+        else:
+            assert codecs.psnr(src, dec) >= 40.0
+
+
+def _regen_pixels(i: int, seed: int = 42):
+    ws, hs = [16, 32, 64], [16, 24, 48]
+    w, h = ws[i % 3], hs[i % 3]
+    rng = np.random.default_rng(seed + i)
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = (yy * 255 // max(h - 1, 1))[:, :, None] * np.asarray([1, 0, 0]) + (
+        xx * 255 // max(w - 1, 1)
+    )[:, :, None] * np.asarray([0, 1, 0])
+    return np.clip(base + rng.integers(0, 32, size=(h, w, 3)), 0, 255).astype(np.uint8)
+
+
+def test_resize_pipeline_preserves_captions(images):
+    out = MM.resize_images(images, 8, 8).toPandas().set_index("image_id")
+    src = images.select("image_id", "caption").toPandas().set_index("image_id")
+    assert out["caption"].sort_index().equals(src["caption"].sort_index())
+    assert (out["w"] == 8).all() and (out["h"] == 8).all()
+    sample = out.iloc[0]
+    img = codecs.decode_ppm(bytes(sample["bytes"]))
+    assert img.shape == (8, 8, 3)
+
+
+def test_extract_features_shape(images):
+    got = MM.extract_features(images).toPandas()
+    assert len(got) == N
+    assert all(len(f) == MM.FEATURE_DIM for f in got["features"])
+    arr = np.stack([np.asarray(f) for f in got["features"]])
+    assert np.isfinite(arr).all()
+    assert arr.std(axis=0).min() > 0  # no constant/degenerate dims
+
+
+def test_audio_video_stubs():
+    with pytest.raises(NotImplementedError):
+        MM.decode_audio(None)
+    with pytest.raises(NotImplementedError):
+        MM.sample_video_frames(None)

@@ -1,0 +1,66 @@
+"""Checkpoint/resume semantics: kill after k partition-group commits,
+restart, assert the final committed table is identical to a single-shot
+run (north_rule resumability; SURVEY.md §5 item 5)."""
+
+import pandas as pd
+import pytest
+
+from batch_geocode_spark import datagen
+from batch_geocode_spark.operators import geocode as G
+from batch_geocode_spark.snapshots import SnapshotTable, write_snapshotted
+
+
+@pytest.fixture(scope="module")
+def best_df(spark):
+    images = datagen.images_to_spark(spark, 300, with_bytes=False)
+    gaz = datagen.gazetteer_to_spark(spark)
+    _, best = G.geocode_images(images, gaz)
+    return best.cache()
+
+
+def _sorted_pdf(df) -> pd.DataFrame:
+    pdf = df.toPandas().drop(columns=["bucket"], errors="ignore")
+    return pdf.sort_values("image_id").reset_index(drop=True)
+
+
+def test_crash_resume_equals_single_shot(spark, best_df, tmp_path_factory):
+    single = SnapshotTable(str(tmp_path_factory.mktemp("single")))
+    write_snapshotted(best_df, single, n_buckets=8, group_size=8)
+
+    crashy = SnapshotTable(str(tmp_path_factory.mktemp("crashy")))
+    with pytest.raises(RuntimeError, match="injected failure"):
+        write_snapshotted(best_df, crashy, n_buckets=8, group_size=2, fail_after_groups=2)
+    # crash left a committed prefix; some rows visible, not all
+    partial = crashy.committed_buckets()
+    assert 0 < len(partial) < 8
+
+    # resume: same call, committed buckets skipped
+    final = write_snapshotted(best_df, crashy, n_buckets=8, group_size=2)
+    assert len(crashy.committed_buckets()) == 8
+    pd.testing.assert_frame_equal(
+        _sorted_pdf(single.read(spark)), _sorted_pdf(crashy.read(spark))
+    )
+    # lineage: child snapshots reference parents, ids increase
+    hist = crashy.history()
+    assert [h["snapshot_id"] for h in hist] == list(range(len(hist)))
+    assert all(h["parent_id"] == h["snapshot_id"] - 1 for h in hist[1:])
+    # per-partition row-count metrics recorded and conserved
+    assert final["total_rows"] == best_df.count()
+
+
+def test_uncommitted_buckets_invisible(spark, best_df, tmp_path_factory):
+    t = SnapshotTable(str(tmp_path_factory.mktemp("vis")))
+    with pytest.raises(RuntimeError):
+        write_snapshotted(best_df, t, n_buckets=8, group_size=3, fail_after_groups=1)
+    visible = t.read(spark).count()
+    committed_rows = sum(t.committed_buckets().values())
+    assert visible == committed_rows < best_df.count()
+
+
+def test_idempotent_rerun_after_complete(spark, best_df, tmp_path_factory):
+    t = SnapshotTable(str(tmp_path_factory.mktemp("idem")))
+    write_snapshotted(best_df, t, n_buckets=4, group_size=4)
+    snap1 = t.current()
+    write_snapshotted(best_df, t, n_buckets=4, group_size=4)  # no pending work
+    assert t.current()["snapshot_id"] == snap1["snapshot_id"]
+    assert t.read(spark).count() == best_df.count()
