@@ -472,6 +472,52 @@ def d03_lang_source_profile(spark, sf_dir):
     )
 
 
+def d04_ngram_jaccard(spark, sf_dir):
+    """n-gram Jaccard near-dup pairs (exact, inverted-index join)."""
+    from batch_geocode_spark.operators import dedup as D
+
+    _views(spark, sf_dir)
+    return D.ngram_jaccard_pairs(
+        spark.table("documents"), n=4, threshold=0.05, max_df=10**6
+    )
+
+
+def d05_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup candidates with exact-Jaccard verify
+    (rows-only check: xxhash64 has no DuckDB equivalent)."""
+    from batch_geocode_spark.operators import dedup as D
+
+    _views(spark, sf_dir)
+    return D.minhash_lsh_pairs(spark.table("documents"), n=4, threshold=0.5)
+
+
+def d06_simhash_fingerprints(spark, sf_dir):
+    """SimHash 64-bit fingerprints (rows-only check)."""
+    from batch_geocode_spark.operators import dedup as D
+
+    _views(spark, sf_dir)
+    return D.simhash_fingerprints(spark.table("documents"))
+
+
+def e02_cosine_near_dup(spark, sf_dir):
+    """Embedding near-duplicate pairs, exact (oracle-checkable)."""
+    from batch_geocode_spark.operators import similarity as S
+
+    _views(spark, sf_dir)
+    return S.cosine_near_dup_pairs(spark.table("embeddings"), threshold=0.45)
+
+
+def e03_ann_topk(spark, sf_dir):
+    """LSH-bucketed approximate top-k (rows-only: approximate by design;
+    recall vs brute force is pytest-asserted)."""
+    from batch_geocode_spark.operators import similarity as S
+
+    _views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return S.ann_lsh_topk(queries, emb, dim=64, k=5, n_tables=8, bits=8)
+
+
 def e01_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-k similarity search vs query vector 0."""
     _views(spark, sf_dir)
@@ -641,6 +687,41 @@ ORACLES: dict[str, str] = {
         SELECT md5(text) AS text_hash, COUNT(*) AS n_docs, MIN(doc_id) AS keep_doc_id
         FROM documents GROUP BY 1
     """,
+    "d04_ngram_jaccard": r"""
+        WITH toks AS (
+          SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+        sh AS (SELECT DISTINCT doc_id, shingle FROM (
+          SELECT doc_id, unnest(list_transform(range(1, greatest(len(t) - 2, 1)),
+            i -> concat(t[i], ' ', t[i+1], ' ', t[i+2], ' ', t[i+3]))) AS shingle
+          FROM toks)),
+        sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+          FROM sh a JOIN sh b USING (shingle)
+          WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+        SELECT doc_a, doc_b, n_inter, sa.set_size AS size_a, sb.set_size AS size_b,
+          ROUND(n_inter * 1.0 / (sa.set_size + sb.set_size - n_inter), 6) AS jaccard
+        FROM inter
+          JOIN sizes sa ON doc_a = sa.doc_id
+          JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE n_inter * 1.0 / (sa.set_size + sb.set_size - n_inter) >= 0.05
+    """,
+    "e02_cosine_near_dup": """
+        WITH v AS (
+          SELECT vec_id, embedding,
+            sqrt(list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+          FROM embeddings)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          ROUND(
+            list_sum(list_transform(range(1, len(a.embedding) + 1),
+              i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+            / (a.nrm * b.nrm), 6) AS cos_sim
+        FROM v a JOIN v b ON a.vec_id < b.vec_id
+        WHERE list_sum(list_transform(range(1, len(a.embedding) + 1),
+              i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+            / (a.nrm * b.nrm) >= 0.45
+    """,
     "d02_text_quality": r"""
         SELECT doc_id,
           length(text) AS n_chars_actual,
@@ -693,5 +774,10 @@ QUERIES = {
     "d01_exact_dup_groups": d01_exact_dup_groups,
     "d02_text_quality": d02_text_quality,
     "d03_lang_source_profile": d03_lang_source_profile,
+    "d04_ngram_jaccard": d04_ngram_jaccard,
+    "d05_minhash_lsh": d05_minhash_lsh,
+    "d06_simhash_fingerprints": d06_simhash_fingerprints,
     "e01_cosine_topk": e01_cosine_topk,
+    "e02_cosine_near_dup": e02_cosine_near_dup,
+    "e03_ann_topk": e03_ann_topk,
 }

@@ -1,0 +1,251 @@
+"""Deduplication operators for a large-scale training-data pipeline.
+
+All four families over the ``documents`` table:
+
+- exact            : hash-groupBy (one shuffle, combiner-friendly)
+- n-gram Jaccard   : shingle inverted-index self-join with hot-shingle
+                     pruning (max_df) — the classic blocked pair join;
+                     never a cross join
+- MinHash + LSH    : affine permutations over a 64-bit base hash
+                     (h_i = a_i·x + b_i mod p), banded signature join
+- SimHash          : token-hash sign aggregation (numpy, Arrow-batched),
+                     near-dup pairs via 16-bit band join on the 64-bit
+                     fingerprint
+
+Scale shape: every stage is either a map or a keyed aggregate/join with
+map-side combine; candidate generation is always join-on-block-key, and
+every approximate method ends in an exact verify step on candidate
+pairs only.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# 2^31-1 (Mersenne prime): affine-permutation products stay < 2^62,
+# safe under ANSI int64 arithmetic; 31-bit hash space is ample for
+# MinHash (collision prob ~ |shingles| / 2^31)
+MERSENNE_P31 = (1 << 31) - 1
+
+
+# ------------------------------------------------------------------- exact
+def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Hash-groupBy exact dedup: one row per distinct text with count and
+    the minimal doc_id to keep."""
+    return docs.groupBy(F.md5(F.col(text_col)).alias("text_hash")).agg(
+        F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_doc_id")
+    )
+
+
+# ----------------------------------------------------------------- shingles
+def word_shingles(docs: DataFrame, n: int = 4, text_col: str = "text") -> DataFrame:
+    """Distinct (doc_id, shingle) pairs of word n-grams — pure Column
+    exprs (sequence/transform/element_at), no UDF."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    # guard: Spark sequence(1, 0) would be DESCENDING, not empty
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    sh = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(n)]
+        ),
+    )
+    return (
+        docs.select("doc_id", F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 4,
+    threshold: float = 0.5,
+    max_df: int = 1000,
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via inverted-index self-join.
+
+    Shingles appearing in more than ``max_df`` docs are pruned from the
+    *blocking* step only — with the convention that pair candidates come
+    from shared rare shingles. Jaccard itself is computed on full
+    shingle sets, so results are exact for every candidate pair.
+    """
+    sh = word_shingles(docs, n=n, text_col=text_col)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
+    df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    rare = sh.join(
+        df_counts.filter(F.col("df") <= max_df).select("shingle"), "shingle", "inner"
+    )
+    a = rare.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = rare.select(F.col("doc_id").alias("doc_b"), "shingle")
+    shared = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_rare"))
+    )
+    # exact intersection on full sets for candidates
+    full_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    full_b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        full_a.join(full_b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .join(shared.select("doc_a", "doc_b"), ["doc_a", "doc_b"], "left_semi")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnsRenamed({"doc_id": "doc_a", "set_size": "size_a"}), "doc_a")
+        .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "set_size": "size_b"}), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("size_a") + F.col("size_b") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= F.lit(threshold))
+        .select("doc_a", "doc_b", "n_inter", "size_a", "size_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return out
+
+
+# ------------------------------------------------------------ MinHash + LSH
+def _perm_params(num_perm: int, seed: int = 42) -> tuple[list[int], list[int]]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, MERSENNE_P31 - 1, size=num_perm, dtype=np.int64).tolist()
+    b = rng.integers(0, MERSENNE_P31 - 1, size=num_perm, dtype=np.int64).tolist()
+    return a, b
+
+
+def minhash_signatures(
+    docs: DataFrame, n: int = 4, num_perm: int = 64, seed: int = 42
+) -> DataFrame:
+    """(doc_id, perm, sig): MinHash signature rows — explode shingle base
+    hashes through affine permutations, keyed min-aggregate (map-side
+    combine keeps shuffle volume at num_perm rows/doc)."""
+    a, b = _perm_params(num_perm, seed)
+    sh = word_shingles(docs, n=n)
+    base = sh.select("doc_id", F.pmod(F.xxhash64("shingle"), F.lit(MERSENNE_P31)).alias("x"))
+    perms = F.array(
+        *[
+            F.struct(F.lit(i).alias("perm"), F.lit(a[i]).alias("a"), F.lit(b[i]).alias("b"))
+            for i in range(num_perm)
+        ]
+    )
+    expl = base.select("doc_id", "x", F.explode(perms).alias("p")).select(
+        "doc_id",
+        F.col("p.perm").alias("perm"),
+        F.pmod(F.col("p.a") * F.col("x") + F.col("p.b"), F.lit(MERSENNE_P31)).alias("h"),
+    )
+    return expl.groupBy("doc_id", "perm").agg(F.min("h").alias("sig"))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    n: int = 4,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Candidate pairs from banded MinHash signatures, then EXACT Jaccard
+    verification — the approximate step only generates candidates, never
+    final answers."""
+    rows_per_band = num_perm // bands
+    sigs = minhash_signatures(docs, n=n, num_perm=num_perm, seed=seed)
+    banded = (
+        sigs.withColumn("band", (F.col("perm") / rows_per_band).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(F.xxhash64(F.sort_array(F.collect_list(F.struct("perm", "sig")))).alias("band_key"))
+    )
+    a = banded.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
+    b = banded.select(F.col("doc_id").alias("doc_b"), "band", "band_key")
+    cand = (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sh = word_shingles(docs, n=n)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
+    fa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    fb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        fa.join(fb, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .join(cand, ["doc_a", "doc_b"], "left_semi")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({"doc_id": "doc_a", "set_size": "size_a"}), "doc_a")
+        .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "set_size": "size_b"}), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("size_a") + F.col("size_b") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= F.lit(threshold))
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+# ------------------------------------------------------------------ SimHash
+def simhash_fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per doc: token hashes aggregated JVM-side
+    (collect_list after distinct-free explode), sign accumulation
+    vectorized in one Arrow batch pass."""
+    toks = F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok")
+    th = docs.select("doc_id", toks).select(
+        "doc_id", F.xxhash64("tok").alias("th")
+    )
+    grouped = th.groupBy("doc_id").agg(F.collect_list("th").alias("hashes"))
+
+    def fp(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bits = np.arange(64, dtype=np.uint64)
+        for pdf in it:
+            out = []
+            for r in pdf.itertuples():
+                hs = np.asarray(r.hashes, dtype=np.int64).view(np.uint64)
+                bitmat = ((hs[:, None] >> bits[None, :]) & 1).astype(np.int32)
+                acc = (2 * bitmat - 1).sum(axis=0)
+                sig = np.uint64(0)
+                for i in range(64):
+                    if acc[i] > 0:
+                        sig |= np.uint64(1) << np.uint64(i)
+                out.append(np.int64(sig.astype(np.int64)))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].to_numpy(), "simhash": out})
+
+    return grouped.mapInPandas(fp, schema="doc_id long, simhash long")
+
+
+def simhash_near_dup_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) ≤ k via 16-bit band blocking
+    (any equal quarter ⇒ candidate; exact hamming verify after)."""
+    fps = simhash_fingerprints(docs)
+    quarters = [
+        (F.shiftrightunsigned(F.col("simhash"), 16 * i) % F.lit(1 << 16)).alias(f"q{i}")
+        for i in range(4)
+    ]
+    q = fps.select("doc_id", "simhash", *quarters)
+    pairs = None
+    for i in range(4):
+        a = q.select(
+            F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"), F.col(f"q{i}").alias("qk")
+        )
+        b = q.select(
+            F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"), F.col(f"q{i}").alias("qk")
+        )
+        p = a.join(b, "qk").filter(F.col("doc_a") < F.col("doc_b")).drop("qk")
+        pairs = p if pairs is None else pairs.unionByName(p)
+    cand = pairs.distinct()
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

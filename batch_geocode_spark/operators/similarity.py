@@ -1,0 +1,179 @@
+"""Similarity search over an embedding column (array<float>).
+
+- brute_force_topk : exact cosine top-k of each query vector against the
+  corpus — the correctness baseline. Query side is broadcast (queries ≪
+  corpus); the corpus never shuffles.
+- signature (random hyperplane) LSH: deterministic seeded hyperplanes →
+  sign-bit buckets over multiple tables; candidates = bucket matches,
+  then exact cosine on candidates only, per-query top-k. The scale path:
+  candidate generation is an equi-join on (table, bucket) instead of a
+  cross join.
+- cosine_near_dup_pairs : all corpus pairs with cosine ≥ threshold
+  (exact, blocked by LSH bucket when ``use_lsh``).
+
+Dot products run JVM-side via zip_with/aggregate (no Python in the hot
+path); the hyperplane signatures use one vectorized Arrow batch pass
+(numpy matmul).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda s, v: s + v * v))
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    q_id: str = "vec_id",
+    c_id: str = "vec_id",
+    q_vec: str = "embedding",
+    c_vec: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: corpus ⋈_broadcast queries (cross), JVM-side
+    dot products, per-query window top-k."""
+    q = queries.select(
+        F.col(q_id).alias("query_id"), _as_double(F.col(q_vec)).alias("qv")
+    ).withColumn("qn", _norm(F.col("qv")))
+    c = corpus.select(
+        F.col(c_id).alias("corpus_id"), _as_double(F.col(c_vec)).alias("cv")
+    ).withColumn("cn", _norm(F.col("cv")))
+    joined = c.crossJoin(F.broadcast(q)).withColumn(
+        "cos_sim", _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("corpus_id"))
+    return (
+        joined.filter(F.col("query_id") != F.col("corpus_id"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", F.round("cos_sim", 6).alias("cos_sim"), "rank")
+    )
+
+
+def hyperplane_signatures(
+    vecs: DataFrame,
+    dim: int,
+    n_tables: int = 4,
+    bits: int = 12,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, table, bucket): sign-bit LSH buckets per table — one
+    vectorized Arrow pass (numpy matmul against seeded hyperplanes)."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_tables, bits, dim)).astype(np.float64)
+
+    def sig(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        weights = np.power(2, np.arange(bits), dtype=np.int64)
+        for pdf in it:
+            mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            ids, tables, buckets = [], [], []
+            for t in range(n_tables):
+                proj = mat @ planes[t].T  # (n, bits)
+                bucket = ((proj > 0).astype(np.int64) * weights).sum(axis=1)
+                ids.append(pdf[id_col].to_numpy())
+                tables.append(np.full(len(pdf), t, dtype=np.int32))
+                buckets.append(bucket)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.concatenate(ids),
+                    "table": np.concatenate(tables),
+                    "bucket": np.concatenate(buckets),
+                }
+            )
+
+    return vecs.select(F.col(id_col).alias(id_col), vec_col).mapInPandas(
+        sig, schema="vec_id long, table int, bucket long"
+    )
+
+
+def ann_lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_tables: int = 6,
+    bits: int = 10,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: LSH-bucket candidate join, exact cosine on
+    candidates, per-query top-k. Recall grows with n_tables / falls with
+    bits; tune per corpus density."""
+    qs = hyperplane_signatures(queries, dim, n_tables, bits, seed).withColumnsRenamed(
+        {"vec_id": "query_id"}
+    )
+    cs = hyperplane_signatures(corpus, dim, n_tables, bits, seed).withColumnsRenamed(
+        {"vec_id": "corpus_id"}
+    )
+    cand = (
+        qs.join(cs, ["table", "bucket"])
+        .filter(F.col("query_id") != F.col("corpus_id"))
+        .select("query_id", "corpus_id")
+        .distinct()
+    )
+    q = queries.select(
+        F.col("vec_id").alias("query_id"), _as_double(F.col("embedding")).alias("qv")
+    ).withColumn("qn", _norm(F.col("qv")))
+    c = corpus.select(
+        F.col("vec_id").alias("corpus_id"), _as_double(F.col("embedding")).alias("cv")
+    ).withColumn("cn", _norm(F.col("cv")))
+    scored = (
+        cand.join(F.broadcast(q), "query_id")
+        .join(c, "corpus_id")
+        .withColumn("cos_sim", _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("corpus_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", F.round("cos_sim", 6).alias("cos_sim"), "rank")
+    )
+
+
+def cosine_near_dup_pairs(
+    vecs: DataFrame, threshold: float = 0.95, use_lsh: bool = False, dim: int = 64
+) -> DataFrame:
+    """Embedding near-dup pairs (cosine ≥ threshold). Exact pair join for
+    oracle-checkable sizes; ``use_lsh`` blocks by bucket first at scale."""
+    v = vecs.select("vec_id", _as_double(F.col("embedding")).alias("v")).withColumn(
+        "n", _norm(F.col("v"))
+    )
+    a = v.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("n").alias("na"))
+    b = v.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), F.col("n").alias("nb"))
+    if use_lsh:
+        sig = hyperplane_signatures(vecs, dim, n_tables=8, bits=8)
+        sa = sig.withColumnsRenamed({"vec_id": "id_a"})
+        sb = sig.withColumnsRenamed({"vec_id": "id_b"})
+        cand = (
+            sa.join(sb, ["table", "bucket"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        pairs = cand.join(a, "id_a").join(b, "id_b")
+    else:
+        pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn("cos_sim", _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
+        .filter(F.col("cos_sim") >= F.lit(threshold))
+        .select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
+    )

@@ -1,0 +1,153 @@
+"""Dedup + similarity operators vs brute-force/pandas oracles."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from batch_geocode_spark.operators import dedup as D
+from batch_geocode_spark.operators import similarity as S
+
+VOCAB = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta", "iota", "kappa"]
+
+
+def _corpus(n=80, seed=7):
+    """Docs with planted near-duplicates: doc 3i+1 = doc 3i with one word
+    changed; doc 3i+2 = unrelated."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for g in range(n // 3):
+        base = [VOCAB[i] for i in rng.integers(0, len(VOCAB), 30)]
+        near = list(base)
+        near[15] = "CHANGED"
+        other = [VOCAB[i] for i in rng.integers(0, len(VOCAB), 30)]
+        rows += [
+            (3 * g, " ".join(base)),
+            (3 * g + 1, " ".join(near)),
+            (3 * g + 2, " ".join(other)),
+        ]
+    return pd.DataFrame(rows, columns=["doc_id", "text"])
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(_corpus(), "doc_id long, text string").cache()
+
+
+def _true_jaccard(pdf, n=4):
+    def sh(t):
+        toks = t.split()
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    sets = {r.doc_id: sh(r.text) for r in pdf.itertuples()}
+    out = {}
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            if inter:
+                out[(a, b)] = inter / (len(sets[a]) + len(sets[b]) - inter)
+    return out
+
+
+def test_exact_duplicates(spark):
+    pdf = pd.DataFrame(
+        {"doc_id": [0, 1, 2, 3], "text": ["x y", "x y", "z", "x y"]}
+    )
+    d = spark.createDataFrame(pdf)
+    got = D.exact_duplicates(d).toPandas().sort_values("n_docs", ascending=False)
+    assert got.iloc[0]["n_docs"] == 3 and got.iloc[0]["keep_doc_id"] == 0
+    assert len(got) == 2
+
+
+def test_ngram_jaccard_matches_bruteforce(docs):
+    got = D.ngram_jaccard_pairs(docs, n=4, threshold=0.3).toPandas()
+    truth = _true_jaccard(docs.toPandas())
+    want = {k: v for k, v in truth.items() if v >= 0.3}
+    got_pairs = {(r.doc_a, r.doc_b): r.jaccard for r in got.itertuples()}
+    assert set(got_pairs) == set(want)
+    for k in want:
+        assert got_pairs[k] == pytest.approx(want[k], abs=1e-6)
+
+
+def test_minhash_lsh_finds_planted_neardups(docs):
+    got = D.minhash_lsh_pairs(docs, n=4, threshold=0.5).toPandas()
+    pairs = {(r.doc_a, r.doc_b) for r in got.itertuples()}
+    truth = _true_jaccard(docs.toPandas())
+    planted = {k for k, v in truth.items() if v >= 0.6}  # well above band thresh
+    assert planted, "fixture must plant near-dups"
+    recall = len(pairs & planted) / len(planted)
+    assert recall >= 0.9
+    # verification step ⇒ no pair below the exact-jaccard threshold
+    for r in got.itertuples():
+        assert truth[(r.doc_a, r.doc_b)] >= 0.5 - 1e-9
+        assert r.jaccard == pytest.approx(truth[(r.doc_a, r.doc_b)], abs=1e-6)
+
+
+def test_simhash_identical_and_near(spark):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                "alpha beta gamma delta eps zeta eta theta " * 4,
+                "alpha beta gamma delta eps zeta eta theta " * 4,  # identical
+                "totally different words entirely unrelated content here now " * 4,
+            ],
+        }
+    )
+    d = spark.createDataFrame(pdf)
+    fps = D.simhash_fingerprints(d).toPandas().set_index("doc_id")["simhash"]
+    assert fps[0] == fps[1]
+    assert bin((int(fps[0]) ^ int(fps[2])) & (2**64 - 1)).count("1") > 10
+    pairs = D.simhash_near_dup_pairs(d, max_hamming=3).toPandas()
+    assert (0, 1) in {(r.doc_a, r.doc_b) for r in pairs.itertuples()}
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((40, 16))
+    rows = []
+    for i in range(40):
+        rows.append((i, base[i].astype(np.float32).tolist(), 0))
+        # planted near-dup: tiny perturbation
+        rows.append((100 + i, (base[i] + 0.01 * rng.standard_normal(16)).astype(np.float32).tolist(), 1))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int").cache()
+
+
+def test_brute_force_topk_is_exact(vectors):
+    got = S.brute_force_topk(vectors.limit(5), vectors, k=3).toPandas()
+    pdf = vectors.toPandas()
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+    ids = pdf["vec_id"].to_numpy()
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    for qid, grp in got.groupby("query_id"):
+        qi = np.where(ids == qid)[0][0]
+        sims = mat @ mat[qi]
+        order = [
+            ids[j]
+            for j in sorted(range(len(ids)), key=lambda j: (-round(sims[j], 12), ids[j]))
+            if ids[j] != qid
+        ][:3]
+        assert grp.sort_values("rank")["corpus_id"].tolist() == order
+
+
+def test_ann_lsh_recall(vectors):
+    exact = S.brute_force_topk(vectors, vectors, k=1).toPandas()
+    approx = S.ann_lsh_topk(vectors, vectors, dim=16, k=1, n_tables=8, bits=8).toPandas()
+    e = exact.set_index("query_id")["corpus_id"]
+    a = approx.set_index("query_id")["corpus_id"]
+    common = e.index.intersection(a.index)
+    recall = (e.loc[common] == a.loc[common]).mean()
+    assert recall >= 0.9  # planted twins are trivially bucketable
+    assert len(a) >= 0.9 * len(e)
+
+
+def test_cosine_near_dup_lsh_vs_exact(vectors):
+    exact = S.cosine_near_dup_pairs(vectors, threshold=0.99).toPandas()
+    lsh = S.cosine_near_dup_pairs(vectors, threshold=0.99, use_lsh=True, dim=16).toPandas()
+    ep = {(r.id_a, r.id_b) for r in exact.itertuples()}
+    lp = {(r.id_a, r.id_b) for r in lsh.itertuples()}
+    assert ep, "fixture must contain near-dup pairs"
+    assert lp <= ep  # LSH never invents pairs (exact verify)
+    assert len(lp) >= 0.9 * len(ep)
