@@ -518,6 +518,38 @@ def e03_ann_topk(spark, sf_dir):
     return S.ann_lsh_topk(queries, emb, dim=64, k=5, n_tables=8, bits=8)
 
 
+def t01_language_id(spark, sf_dir):
+    """Stopword-profile language ID (argmax via struct greatest)."""
+    from batch_geocode_spark.operators import text as T
+
+    _views(spark, sf_dir)
+    return T.language_id(spark.table("documents"))
+
+
+def t02_quality_scores(spark, sf_dir):
+    """Pre-training quality heuristics as Column expressions."""
+    from batch_geocode_spark.operators import text as T
+
+    _views(spark, sf_dir)
+    return T.quality_scores(spark.table("documents"))
+
+
+def t03_fingerprints(spark, sf_dir):
+    """Doc fingerprints (rows-only: rolling hash uses xxhash64)."""
+    from batch_geocode_spark.operators import text as T
+
+    _views(spark, sf_dir)
+    return T.fingerprints(spark.table("documents"))
+
+
+def t04_token_counts(spark, sf_dir):
+    """Whitespace + BPE-ish token counting."""
+    from batch_geocode_spark.operators import text as T
+
+    _views(spark, sf_dir)
+    return T.token_counts(spark.table("documents"))
+
+
 def e01_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-k similarity search vs query vector 0."""
     _views(spark, sf_dir)
@@ -706,6 +738,48 @@ ORACLES: dict[str, str] = {
           JOIN sizes sb ON doc_b = sb.doc_id
         WHERE n_inter * 1.0 / (sa.set_size + sb.set_size - n_inter) >= 0.05
     """,
+    "t01_language_id": r"""
+        WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+                   FROM documents),
+        s AS (SELECT doc_id, 'en' AS lang, len(list_filter(toks, x -> x IN ('the', 'a', 'of', 'and', 'to', 'in', 'is'))) AS score FROM t
+          UNION ALL SELECT doc_id, 'es' AS lang, len(list_filter(toks, x -> x IN ('el', 'la', 'de', 'y', 'en', 'que', 'los'))) AS score FROM t
+          UNION ALL SELECT doc_id, 'fr' AS lang, len(list_filter(toks, x -> x IN ('le', 'la', 'de', 'et', 'en', 'que', 'les'))) AS score FROM t
+          UNION ALL SELECT doc_id, 'de' AS lang, len(list_filter(toks, x -> x IN ('der', 'die', 'das', 'und', 'in', 'zu', 'den'))) AS score FROM t
+          UNION ALL SELECT doc_id, 'zh' AS lang, len(list_filter(toks, x -> x IN ('的', '是', '在', '了', '和', '有', '我'))) AS score FROM t),
+        r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                ORDER BY score DESC, lang DESC) AS rn FROM s)
+        SELECT doc_id, lang AS lang_pred, score AS lang_score,
+               CASE WHEN score >= 1 THEN lang ELSE 'und' END AS lang_final
+        FROM r WHERE rn = 1
+    """,
+    "t02_quality_scores": r"""
+        WITH t AS (SELECT doc_id, text,
+                     string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        m AS (SELECT doc_id, text, len(toks) AS n_tok,
+                len(list_filter(toks, x -> x IN ('the', 'a', 'of', 'and', 'to', 'in', 'is'))) AS stop,
+                length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS symbols,
+                (length(text) - len(toks) + 1) * 1.0 / len(toks) AS mean_tok_len,
+                len(list_distinct(toks)) * 1.0 / len(toks) AS ttr
+              FROM t)
+        SELECT doc_id, n_tok AS n_tokens,
+          ROUND(mean_tok_len, 6) AS mean_token_len,
+          ROUND(stop * 1.0 / n_tok, 6) AS stopword_ratio,
+          ROUND(ttr, 6) AS type_token_ratio,
+          ROUND(CASE WHEN n_tok < 5 THEN 0.0
+                     WHEN mean_tok_len > 12.0 THEN 0.2
+                     ELSE least(1.0, 0.5 * ttr +
+                          0.5 * (1.0 - symbols * 1.0 / greatest(length(text), 1)))
+                END, 6) AS quality_score
+        FROM m
+    """,
+    "t04_token_counts": r"""
+        WITH t AS (SELECT doc_id, text,
+                     string_split_regex(trim(text), '\s+') AS toks FROM documents)
+        SELECT doc_id, length(text) AS n_chars, len(toks) AS n_tokens,
+          len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]')) AS n_pieces,
+          len(list_distinct(toks)) AS n_distinct_tokens
+        FROM t
+    """,
     "e02_cosine_near_dup": """
         WITH v AS (
           SELECT vec_id, embedding,
@@ -777,6 +851,10 @@ QUERIES = {
     "d04_ngram_jaccard": d04_ngram_jaccard,
     "d05_minhash_lsh": d05_minhash_lsh,
     "d06_simhash_fingerprints": d06_simhash_fingerprints,
+    "t01_language_id": t01_language_id,
+    "t02_quality_scores": t02_quality_scores,
+    "t03_fingerprints": t03_fingerprints,
+    "t04_token_counts": t04_token_counts,
     "e01_cosine_topk": e01_cosine_topk,
     "e02_cosine_near_dup": e02_cosine_near_dup,
     "e03_ann_topk": e03_ann_topk,

@@ -1,0 +1,115 @@
+"""Text-analysis operators for a training-data pipeline over the
+``documents`` table: language ID, quality scoring, token counting,
+document fingerprinting. All pure Column expressions (JVM-side,
+whole-stage codegen) — no UDFs anywhere in this module.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword profiles for the n-gram/stopword heuristic
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is"],
+    "es": ["el", "la", "de", "y", "en", "que", "los"],
+    "fr": ["le", "la", "de", "et", "en", "que", "les"],
+    "de": ["der", "die", "das", "und", "in", "zu", "den"],
+    "zh": ["的", "是", "在", "了", "和", "有", "我"],
+}
+
+# BPE-ish token regex: word pieces, numbers, or single non-space symbols
+TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]"
+
+
+def _tokens(text_col):
+    return F.split(F.trim(text_col), r"\s+")
+
+
+def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace tokens + BPE-ish regex pieces + chars per doc."""
+    toks = _tokens(F.col(text_col))
+    pieces = F.regexp_count(F.col(text_col), F.lit(TOKEN_REGEX))
+    return docs.select(
+        "doc_id",
+        F.length(text_col).alias("n_chars"),
+        F.size(toks).alias("n_tokens"),
+        pieces.alias("n_pieces"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+    )
+
+
+def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality features: length, mean token length, stopword
+    ratio, type-token ratio, symbol ratio — the usual pre-training
+    filters (C4/Gopher-style rules), each a Column expression."""
+    toks = _tokens(F.col(text_col))
+    n_tok = F.size(toks)
+    stop = F.size(F.filter(toks, lambda t: t.isin(*LANG_PROFILES["en"])))
+    symbols = F.length(F.regexp_replace(F.col(text_col), r"[A-Za-z0-9\s]", ""))
+    mean_tok_len = (F.length(F.col(text_col)) - n_tok + 1) / n_tok
+    ttr = F.size(F.array_distinct(toks)) / n_tok
+    score = (
+        F.when(n_tok < 5, 0.0)
+        .when(mean_tok_len > 12.0, 0.2)
+        .otherwise(
+            F.least(
+                F.lit(1.0),
+                0.5 * ttr + 0.5 * (1.0 - symbols / F.greatest(F.length(text_col), F.lit(1))),
+            )
+        )
+    )
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.round(mean_tok_len, 6).alias("mean_token_len"),
+        F.round(stop / n_tok, 6).alias("stopword_ratio"),
+        F.round(ttr, 6).alias("type_token_ratio"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-profile language ID: score = matching stopword count per
+    language, argmax via greatest/struct-max trick — stays JVM-side."""
+    toks = _tokens(F.lower(F.col(text_col)))
+
+    def _match(words):
+        # single-arg lambda: a second (defaulted) parameter would make
+        # PySpark pass the element index into it
+        return lambda t: t.isin(*words)
+
+    scored = [
+        F.struct(
+            F.size(F.filter(toks, _match(words))).alias("score"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang, words in LANG_PROFILES.items()
+    ]
+    best = F.greatest(*scored) if len(scored) > 1 else scored[0]
+    return docs.select(
+        "doc_id",
+        best["lang"].alias("lang_pred"),
+        best["score"].alias("lang_score"),
+        F.when(best["score"] >= 1, best["lang"]).otherwise(F.lit("und")).alias("lang_final"),
+    )
+
+
+def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprints: normalized-text hash (whitespace-collapsed
+    lowercase md5) + a polynomial rolling hash of the token stream
+    (order-sensitive, computed via aggregate() — still no UDF)."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    toks = _tokens(F.col(text_col))
+    # rolling hash: h = (h * 31 + xxhash64(tok) mod p) mod p, p = 2^31-1
+    p = (1 << 31) - 1
+    rolling = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: F.pmod(acc * 31 + F.pmod(F.xxhash64(t), F.lit(p)), F.lit(p)),
+    )
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("norm_hash"),
+        rolling.alias("rolling_hash"),
+    )

@@ -1,0 +1,91 @@
+"""Physical-plan audits: the plan shapes the 100TB story depends on.
+
+These assertions pin down what .explain() must keep showing:
+- parquet filter pushdown + column pruning (incl. the image payload)
+- broadcast hash joins on the gazetteer path (never cartesian/SMJ)
+- single-shuffle window plan for kNN
+- whole-stage codegen on the hot path
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from batch_geocode_spark import datagen
+from batch_geocode_spark.operators import geocode as G
+from batch_geocode_spark.operators import knn as KNN
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+@pytest.fixture(scope="module")
+def images_parquet(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("imgs")) + "/images"
+    datagen.images_to_spark(spark, 100, with_bytes=True).write.parquet(path)
+    return path
+
+
+def test_filter_pushdown_and_pruning(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    q = li.filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_quantity") < 24)
+    ).select("l_extendedprice")
+    plan = _plan(q)
+    assert "PushedFilters" in plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "LessThan(l_quantity" in plan
+    # column pruning: scan reads only the 3 needed columns
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_extendedprice" in read_schema
+    assert "l_returnflag" not in read_schema
+
+
+def test_geocode_scan_prunes_image_payload(spark, images_parquet):
+    """At 10^12 rows the bytes column IS the table — the geocode path
+    must never read it (SURVEY.md §4 column pruning)."""
+    images = spark.read.parquet(images_parquet)
+    gaz = datagen.gazetteer_to_spark(spark)
+    cands = G.build_candidates(images, gaz)
+    plan = _plan(cands)
+    read_schemas = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read_schemas, "expected parquet scans"
+    assert all("bytes" not in ln for ln in read_schemas)
+    assert all("phash" not in ln for ln in read_schemas)
+
+
+def test_gazetteer_join_is_broadcast_never_cartesian(spark, images_parquet):
+    images = spark.read.parquet(images_parquet)
+    gaz = datagen.gazetteer_to_spark(spark)
+    plan = _plan(G.build_candidates(images, gaz))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan  # big side must not shuffle for the join
+
+
+def test_knn_is_single_shuffle_no_join(spark, images_parquet):
+    images = spark.read.parquet(images_parquet)
+    gaz = datagen.gazetteer_to_spark(spark)
+    vetted = G.vet_candidates(G.build_candidates(images, gaz))
+    plan = _plan(KNN.knn_within_image(vetted, k=3))
+    assert "SortMergeJoin" not in plan
+    # the only Exchanges allowed: broadcasts + ONE hash partitioning on image_id
+    shuffle_lines = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln or "Exchange rangepartitioning" in ln
+    ]
+    assert len(shuffle_lines) <= 2  # gazetteer rank window + image_id window
+
+
+def test_whole_stage_codegen_on_hot_path(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    q = li.groupBy("l_returnflag").agg(F.sum("l_quantity"))
+    codegen = q._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("codegen")
+    )
+    assert "WholeStageCodegen" in codegen

@@ -1,0 +1,57 @@
+import pandas as pd
+import pytest
+
+from batch_geocode_spark.operators import text as T
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                "the cat sat on the mat and the dog is in a house",
+                "el perro y el gato en la casa de los vecinos que ladran",
+                "xyz",
+                "symbols !!! ### $$$ %%% everywhere !!! ### not words at all",
+            ],
+        }
+    )
+    return spark.createDataFrame(pdf).cache()
+
+
+def test_token_counts(docs):
+    got = T.token_counts(docs).toPandas().set_index("doc_id")
+    assert got.loc[0, "n_tokens"] == 13
+    assert got.loc[2, "n_tokens"] == 1
+    assert got.loc[0, "n_distinct_tokens"] < got.loc[0, "n_tokens"]  # 'the' repeats
+    assert got.loc[3, "n_pieces"] > got.loc[3, "n_tokens"]  # symbols split into pieces
+
+
+def test_quality_scores(docs):
+    got = T.quality_scores(docs).toPandas().set_index("doc_id")
+    assert got.loc[2, "quality_score"] == 0.0  # too short
+    assert got.loc[0, "quality_score"] > got.loc[3, "quality_score"]  # symbol soup
+    assert 0 < got.loc[0, "stopword_ratio"] < 1
+
+
+def test_language_id(docs):
+    got = T.language_id(docs).toPandas().set_index("doc_id")
+    assert got.loc[0, "lang_final"] == "en"
+    assert got.loc[1, "lang_final"] == "es"
+    assert got.loc[2, "lang_final"] == "und"
+
+
+def test_fingerprints_order_sensitivity(spark):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": ["alpha beta gamma", "gamma beta alpha", "ALPHA   beta GAMMA"],
+        }
+    )
+    d = spark.createDataFrame(pdf)
+    got = T.fingerprints(d).toPandas().set_index("doc_id")
+    # rolling hash is order-sensitive; norm hash is case/space-insensitive
+    assert got.loc[0, "rolling_hash"] != got.loc[1, "rolling_hash"]
+    assert got.loc[0, "norm_hash"] == got.loc[2, "norm_hash"]
+    assert got.loc[0, "norm_hash"] != got.loc[1, "norm_hash"]
