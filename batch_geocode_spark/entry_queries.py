@@ -518,6 +518,56 @@ def e03_ann_topk(spark, sf_dir):
     return S.ann_lsh_topk(queries, emb, dim=64, k=5, n_tables=8, bits=8)
 
 
+WIDE_PREFIXES = [f"{s}{r}" for s in ("FG", "GM", "GN", "OSM") for r in (1, 2)]
+
+
+def g10_wide_output(spark, sf_dir):
+    """P1 reference-parity wide layout: input columns + best_* +
+    {prefix}_{suffix} grid (reference: batch_geocode.py:23-38)."""
+    images = _images(spark, sf_dir)
+    gaz = _gaz(spark, sf_dir)
+    vetted, best = G.geocode_images(images, gaz)
+    wide = G.to_wide(images, vetted, best, prefixes=WIDE_PREFIXES)
+    exprs = []
+    for c in wide.columns:
+        if c.endswith(("_lat", "_long", "_buffer")):
+            exprs.append(F.round(F.col(c), 6).alias(c))
+        else:
+            exprs.append(F.col(c))
+    return wide.select(*exprs)
+
+
+def _wide_oracle() -> str:
+    cols = []
+    for p in WIDE_PREFIXES:
+        src, rank = p[:-1], p[-1]
+        cond = f"source = '{src}' AND rank = {rank}"
+        cols += [
+            f"max(CASE WHEN {cond} THEN name END) AS {p}_name",
+            f"max(CASE WHEN {cond} THEN loc_type END) AS {p}_type",
+            f"ROUND(max(CASE WHEN {cond} THEN sum_lat / n_pts END), 6) AS {p}_lat",
+            f"ROUND(max(CASE WHEN {cond} THEN sum_lng / n_pts END), 6) AS {p}_long",
+            f"ROUND(max(CASE WHEN {cond} THEN buffer END), 6) AS {p}_buffer",
+        ]
+    pivot = ",\n          ".join(cols)
+    return GEO_CTES + f""",
+        pivoted AS (
+          SELECT image_id,
+          {pivot}
+          FROM vetted GROUP BY image_id
+        )
+        SELECT i.image_id, i.caption,
+          b.best_name, b.best_type,
+          ROUND(b.best_lat, 6) AS best_lat,
+          ROUND(b.best_long, 6) AS best_long,
+          ROUND(b.best_buffer, 6) AS best_buffer,
+          p.* EXCLUDE (image_id)
+        FROM images i
+        LEFT JOIN best b ON i.image_id = b.image_id
+        LEFT JOIN pivoted p ON i.image_id = p.image_id
+    """
+
+
 def t01_language_id(spark, sf_dir):
     """Stopword-profile language ID (argmax via struct greatest)."""
     from batch_geocode_spark.operators import text as T
@@ -859,3 +909,45 @@ QUERIES = {
     "e02_cosine_near_dup": e02_cosine_near_dup,
     "e03_ann_topk": e03_ann_topk,
 }
+
+QUERIES["g10_wide_output"] = g10_wide_output
+ORACLES["g10_wide_output"] = _wide_oracle()
+
+
+def q11_sessionize(spark, sf_dir):
+    """Session windows (gap-based) over the events stream table —
+    built-in session_window; timestamps projected as epoch micros for
+    cross-engine exactness."""
+    from batch_geocode_spark import streaming as STR
+
+    _views(spark, sf_dir)
+    s = STR.sessionize(spark.table("events"), gap="30 minutes", watermark=None)
+    return s.select(
+        "user_id",
+        F.unix_micros(F.col("session_start")).alias("start_us"),
+        F.unix_micros(F.col("session_end")).alias("end_us"),
+        "n_events",
+        "total_value",
+    )
+
+
+QUERIES["q11_sessionize"] = q11_sessionize
+ORACLES["q11_sessionize"] = """
+    WITH l AS (
+      SELECT user_id, ts, value,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+      FROM events),
+    g AS (
+      SELECT *, sum(CASE WHEN prev IS NULL
+                          OR epoch_us(ts) - epoch_us(prev) > 1800 * 1000000
+                         THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS grp
+      FROM l)
+    SELECT user_id,
+      epoch_us(min(ts)) AS start_us,
+      epoch_us(max(ts)) + 1800 * 1000000 AS end_us,
+      COUNT(*) AS n_events,
+      CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM g GROUP BY user_id, grp
+"""

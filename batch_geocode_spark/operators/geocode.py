@@ -164,12 +164,18 @@ def geocode_images(
 
 
 def to_wide(
-    images: DataFrame, vetted: DataFrame, best: DataFrame
+    images: DataFrame,
+    vetted: DataFrame,
+    best: DataFrame,
+    prefixes: list[str] | None = None,
 ) -> DataFrame:
     """Reference-parity wide layout: input columns + {prefix}_{suffix}
     with prefixes sorted case-insensitively and 'best' first
     (reference: geocode/batch_geocode.py:23-38; suffixes
     geocode/utilities.py:42-45).
+
+    Pass ``prefixes`` explicitly for a deterministic schema (e.g.
+    source×rank grid); otherwise they are discovered from the data.
     """
     prefixed = vetted.select(
         "image_id",
@@ -180,10 +186,9 @@ def to_wide(
         F.col("cand_lng").alias("long"),
         F.col("buffer"),
     )
-    prefixes = sorted(
-        (r["prefix"] for r in prefixed.select("prefix").distinct().collect()),
-        key=str.lower,
-    )
+    if prefixes is None:
+        prefixes = [r["prefix"] for r in prefixed.select("prefix").distinct().collect()]
+    prefixes = sorted(prefixes, key=str.lower)
     exprs = [
         F.first(F.when(F.col("prefix") == p, F.col(s)), ignorenulls=True).alias(f"{p}_{s}")
         for p in prefixes

@@ -104,3 +104,85 @@ def windowed_event_counts(
             "sum_value",
         )
     )
+
+
+def sessionize(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Per-user sessionization via the BUILT-IN session window (gap-based
+    merging) — expressible natively, so no custom state needed (the
+    preference order from the build rules). Works batch or streaming."""
+    ev = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    if watermark:
+        ev = ev.withWatermark("ts", watermark)
+    return (
+        ev.groupBy(F.session_window(F.col("ts"), gap).alias("win"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def ewma_cell_density(
+    images_stream: DataFrame,
+    gazetteer: DataFrame,
+    alpha: float = 0.5,
+    res: int = 9,
+):
+    """CUSTOM stateful operator (applyInPandasWithState): per-cell
+    exponentially-decayed image density across micro-batches — an
+    evolving heatmap no built-in aggregation expresses (state carries
+    the EWMA between triggers).
+
+    state per cell: (ewma, n_batches). Each trigger folds the batch
+    count c in as ewma' = alpha*c + (1-alpha)*ewma. Emits the updated
+    row per touched cell every trigger (update mode).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    keyed = (
+        images_stream.select("image_id", G.extract_loc_key(F.col("caption")).alias("loc_key"))
+        .join(F.broadcast(gazetteer.filter(F.col("api_rank") == 1)), 
+              F.col("loc_key") == F.col("name_norm"), "inner")
+        .select("image_id", cell_encode_col(res))
+    )
+
+    out_schema = "cell long, ewma double, n_batches int"
+    state_schema = "ewma double, n_batches int"
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        count = 0
+        for pdf in pdfs:
+            count += len(pdf)
+        if state.exists:
+            ewma, n = state.get
+        else:
+            ewma, n = 0.0, 0
+        ewma = alpha * count + (1.0 - alpha) * ewma
+        n += 1
+        state.update((float(ewma), int(n)))
+        yield pd.DataFrame({"cell": [key[0]], "ewma": [ewma], "n_batches": [n]})
+
+    return keyed.groupBy("cell").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def cell_encode_col(res: int):
+    from batch_geocode_spark.functions.cells import cell_encode
+
+    return cell_encode(F.col("lat"), F.col("lng"), res).alias("cell")

@@ -91,3 +91,69 @@ def test_windowed_event_counts_streaming_mode(spark, sf_dir, tmp_path_factory):
     g = got.set_index(["window_start", "event_type"])["n_events"].sort_index()
     w = want.set_index(["window_start", "event_type"])["n_events"].sort_index()
     assert g.equals(w)
+
+
+def test_sessionize_matches_pandas_oracle(spark, sf_dir):
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    got = streaming.sessionize(ev, gap="30 minutes", watermark=None).toPandas()
+    pdf = ev.toPandas().sort_values(["user_id", "ts"])
+    sessions = []
+    for uid, grp in pdf.groupby("user_id"):
+        start = prev = None
+        n = 0
+        for ts in grp["ts"]:
+            if prev is not None and (ts - prev).total_seconds() > 1800:
+                sessions.append((uid, start, n))
+                start, n = None, 0
+            if start is None:
+                start = ts
+            prev = ts
+            n += 1
+        sessions.append((uid, start, n))
+    import pandas as pd
+
+    want = pd.DataFrame(sessions, columns=["user_id", "session_start", "n_events"])
+    want["session_start"] = pd.to_datetime(want["session_start"])
+    g = got.sort_values(["user_id", "session_start"]).reset_index(drop=True)
+    w = want.sort_values(["user_id", "session_start"]).reset_index(drop=True)
+    assert len(g) == len(w)
+    assert g["user_id"].tolist() == w["user_id"].tolist()
+    assert g["session_start"].tolist() == w["session_start"].tolist()
+    assert g["n_events"].tolist() == w["n_events"].tolist()
+
+
+def test_ewma_cell_density_stateful(spark, tmp_path_factory):
+    """applyInPandasWithState across two micro-batches: the second batch
+    must see the first batch's state (n_batches == 2, decayed EWMA)."""
+    in_dir = str(tmp_path_factory.mktemp("ewma_in"))
+    ckpt = str(tmp_path_factory.mktemp("ewma_ckpt"))
+    images = datagen.images_to_spark(spark, 120, with_bytes=False)
+    # same caption mix in both drops so the same cells recur
+    images.coalesce(1).write.mode("append").parquet(in_dir)
+    images.coalesce(1).write.mode("append").parquet(in_dir)
+
+    gaz = datagen.gazetteer_to_spark(spark)
+    stream = spark.readStream.schema(streaming.IMAGES_SCHEMA).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(in_dir)
+    out = streaming.ewma_cell_density(stream, gaz, alpha=0.5, res=6)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ewma")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.table("ewma").toPandas()
+    assert (got["n_batches"] >= 1).any()
+    # rows from the second trigger prove cross-batch state
+    second = got[got["n_batches"] == 2]
+    assert len(second) > 0
+    # per-batch count c identical in both drops => ewma = 0.5c + 0.25c... 
+    # second-trigger ewma = 0.5*c + 0.5*(0.5*c) = 0.75c > first (0.5c)
+    first = got[got["n_batches"] == 1].set_index("cell")["ewma"]
+    for r in second.itertuples():
+        if r.cell in first.index:
+            assert r.ewma == pytest.approx(1.5 * first[r.cell], rel=1e-9)
