@@ -70,21 +70,36 @@ def polygon_cell_cover(
     return bbox_only.mapInPandas(cover, schema="admin_id long, cell long")
 
 
-def _points_in_rings(px: np.ndarray, py: np.ndarray, rings) -> np.ndarray:
-    """Vectorized even-odd ray casting over all rings (holes included)."""
+def _points_in_edge_arrays(
+    px: np.ndarray, py: np.ndarray, rings: list[tuple[np.ndarray, np.ndarray]]
+) -> np.ndarray:
+    """Even-odd ray casting, fully vectorized over edges × points.
+
+    Memory is O(edges × points) per ring; for polygons with very many
+    vertices chunk the point axis (admin boundaries are typically
+    O(10²-10³) edges, fine at Arrow batch sizes)."""
     inside = np.zeros(len(px), dtype=bool)
-    for ring in rings:
-        xs = np.asarray([p["x"] for p in ring], dtype=np.float64)
-        ys = np.asarray([p["y"] for p in ring], dtype=np.float64)
-        x1, y1 = xs[:-1], ys[:-1]
-        x2, y2 = xs[1:], ys[1:]
-        for i in range(len(x1)):
-            cond = (y1[i] > py) != (y2[i] > py)
-            if not cond.any():
-                continue
-            xint = (x2[i] - x1[i]) * (py - y1[i]) / (y2[i] - y1[i]) + x1[i]
-            inside ^= cond & (px < xint)
+    for xs, ys in rings:
+        x1, y1 = xs[:-1, None], ys[:-1, None]
+        x2, y2 = xs[1:, None], ys[1:, None]
+        cond = (y1 > py[None, :]) != (y2 > py[None, :])
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xint = (x2 - x1) * (py[None, :] - y1) / (y2 - y1) + x1
+        crossings = (cond & (px[None, :] < xint)).sum(axis=0)
+        inside ^= (crossings % 2).astype(bool)
     return inside
+
+
+def _points_in_rings(px: np.ndarray, py: np.ndarray, rings) -> np.ndarray:
+    """Even-odd test on rings in struct form [[{'x':..,'y':..}, ...], ...]."""
+    arrays = [
+        (
+            np.asarray([p["x"] for p in ring], dtype=np.float64),
+            np.asarray([p["y"] for p in ring], dtype=np.float64),
+        )
+        for ring in rings
+    ]
+    return _points_in_edge_arrays(px, py, arrays)
 
 
 def pip_join(
@@ -95,7 +110,13 @@ def pip_join(
     lat_col: str = "best_lat",
     lng_col: str = "best_long",
 ) -> DataFrame:
-    """Exact PIP join → (point id, admin_id, admin attrs)."""
+    """Exact PIP join → (point id, admin_id, admin attrs).
+
+    The polygon side is small by assumption (it must broadcast either
+    way), so its geometry ships to executors inside the UDF closure as
+    plain numpy arrays — the candidate rows carry only (point, admin_id)
+    and never duplicate ring structs through Arrow.
+    """
     cover = polygon_cell_cover(polygons, res)
     pts = points.select(
         F.col(id_col).alias("pt_id"),
@@ -104,10 +125,21 @@ def pip_join(
         cell_encode(F.col(lat_col), F.col(lng_col), res).alias("cell"),
     )
     cand = pts.join(F.broadcast(cover), "cell", "inner").join(
-        F.broadcast(polygons.select("admin_id", "iso2", "admin_level", "name", "rings")),
+        F.broadcast(polygons.select("admin_id", "iso2", "admin_level", "name")),
         "admin_id",
         "inner",
     )
+
+    # geometry → numpy edge arrays once, on the driver
+    rings_by_admin: dict[int, list[tuple[np.ndarray, np.ndarray]]] = {}
+    for row in polygons.select("admin_id", "rings").collect():
+        rings_by_admin[int(row["admin_id"])] = [
+            (
+                np.asarray([p["x"] for p in ring], dtype=np.float64),
+                np.asarray([p["y"] for p in ring], dtype=np.float64),
+            )
+            for ring in row["rings"]
+        ]
 
     out_schema = (
         "pt_id string, pt_lat double, pt_lng double, admin_id long, "
@@ -120,11 +152,11 @@ def pip_join(
                 continue
             pdf = pdf.reset_index(drop=True)
             keep = np.zeros(len(pdf), dtype=bool)
-            for _admin_id, grp in pdf.groupby("admin_id", sort=False):
-                mask = _points_in_rings(
+            for admin_id, grp in pdf.groupby("admin_id", sort=False):
+                mask = _points_in_edge_arrays(
                     grp["pt_lng"].to_numpy(np.float64),
                     grp["pt_lat"].to_numpy(np.float64),
-                    grp["rings"].iloc[0],
+                    rings_by_admin[int(admin_id)],
                 )
                 keep[grp.index.to_numpy()] = mask
             res_pdf = pdf.loc[
