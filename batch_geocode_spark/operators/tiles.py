@@ -47,6 +47,35 @@ def cell_density(
     return partial.groupBy("cell").agg(F.sum("pn").alias("n_images"))
 
 
+def pick_salt_buckets(
+    points: DataFrame,
+    lat_col: str,
+    lng_col: str,
+    res: int,
+    sample_fraction: float = 0.05,
+    hot_ratio: float = 4.0,
+    max_buckets: int = 64,
+) -> int:
+    """Skew-histogram pre-pass (SURVEY.md §4 'skew detection'): sample
+    the points, histogram cells, and size the salt so the hottest cell's
+    expected share per reducer is ~mean. Returns 0 (no salting needed)
+    when the max/mean ratio is below ``hot_ratio``."""
+    hist = (
+        points.sample(fraction=sample_fraction, seed=42)
+        .select(cell_encode(F.col(lat_col), F.col(lng_col), res).alias("cell"))
+        .groupBy("cell")
+        .count()
+        .agg(F.max("count").alias("mx"), F.avg("count").alias("mean"))
+        .head()
+    )
+    if not hist or hist["mean"] is None or hist["mean"] == 0:
+        return 0
+    ratio = hist["mx"] / hist["mean"]
+    if ratio < hot_ratio:
+        return 0
+    return min(max_buckets, int(ratio))
+
+
 def assemble_raster_tiles(
     density: DataFrame, res: int, tile_res: int, cell_col: str = "cell"
 ) -> DataFrame:

@@ -100,15 +100,31 @@ class SnapshotTable:
         return out
 
     # ----------------------------------------------------------------- read
-    def read(self, spark: SparkSession) -> DataFrame:
-        """Committed rows only (uncommitted bucket dirs are invisible)."""
-        committed = sorted(self.committed_buckets())
+    def read(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame:
+        """Committed rows only (uncommitted bucket dirs are invisible).
+
+        ``snapshot_id`` time-travels: buckets visible as of that commit.
+        NOTE: bucket dirs are overwritten in place, so time travel is
+        exact for append-style jobs (each bucket committed once per
+        lineage) — the common resume case; a full Iceberg catalog would
+        version data files too.
+        """
+        if snapshot_id is None:
+            buckets = self.committed_buckets()
+        else:
+            snap = self.snapshot(snapshot_id)
+            buckets = {int(k): v for k, v in snap["buckets"].items()}
+        committed = sorted(buckets)
         if not committed:
             raise ValueError(f"no committed snapshot in {self.root}")
-        df = spark.read.option("basePath", self.data_dir).parquet(
+        return spark.read.option("basePath", self.data_dir).parquet(
             *[os.path.join(self.data_dir, f"bucket={b}") for b in committed]
         )
-        return df
+
+    def snapshot(self, snapshot_id: int) -> dict:
+        path = os.path.join(self.manifest_dir, f"snapshot-{snapshot_id:06d}.json")
+        with open(path) as f:
+            return json.load(f)
 
 
 def write_snapshotted(

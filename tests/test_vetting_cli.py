@@ -1,0 +1,131 @@
+"""Vetting split/merge + manual overlay (reference §3.3), ISO validation,
+CLI surface, snapshot time travel, salt picker."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+from batch_geocode_spark import datagen
+from batch_geocode_spark.functions.iso import invalid_iso2, validate_iso2
+from batch_geocode_spark.operators import geocode as G
+from batch_geocode_spark.operators import tiles as T
+from batch_geocode_spark.operators import vetting as V
+from batch_geocode_spark.snapshots import SnapshotTable, write_snapshotted
+
+
+@pytest.fixture(scope="module")
+def wide(spark):
+    images = datagen.images_to_spark(spark, 150, with_bytes=False)
+    gaz = datagen.gazetteer_to_spark(spark)
+    vetted, best = G.geocode_images(images, gaz)
+    return G.to_wide(images, vetted, best).cache()
+
+
+def test_split_merge_roundtrip(spark, wide):
+    meta, geo = V.split_meta_geo(wide)
+    assert "best_lat" not in meta.columns
+    assert "best_lat" in geo.columns and "caption" in geo.columns
+    merged = V.merge_vetted(meta, geo)
+    assert sorted(merged.columns) == sorted(wide.columns)
+    assert merged.count() == wide.count()
+    a = wide.orderBy("image_id").toPandas()
+    b = merged.select(*wide.columns).orderBy("image_id").toPandas()
+    assert a.equals(b)
+
+
+def test_apply_vet_overlay(spark, wide):
+    some = (
+        wide.filter(F.col("GM1_lat").isNotNull())
+        .select("image_id")
+        .limit(5)
+        .withColumn("chosen_prefix", F.lit("GM1"))
+    )
+    out = V.apply_vet_overlay(wide, some)
+    chosen_ids = [r["image_id"] for r in some.collect()]
+    got = out.filter(F.col("image_id").isin(chosen_ids)).toPandas().set_index("image_id")
+    src = wide.filter(F.col("image_id").isin(chosen_ids)).toPandas().set_index("image_id")
+    for i in chosen_ids:
+        assert got.loc[i, "best_lat"] == src.loc[i, "GM1_lat"]
+        assert got.loc[i, "best_name"] == src.loc[i, "GM1_name"] + " (from GM1)"
+        assert got.loc[i, "best_type"] == src.loc[i, "GM1_type"]
+    # untouched rows keep the automatic composite
+    other = out.filter(~F.col("image_id").isin(chosen_ids)).orderBy("image_id").toPandas()
+    orig = wide.filter(~F.col("image_id").isin(chosen_ids)).orderBy("image_id").toPandas()
+    assert other["best_name"].tolist() == orig["best_name"].tolist()
+
+
+def test_iso2_validation(spark):
+    df = spark.createDataFrame(
+        [("US",), ("ke",), ("XX",), ("ZZ",), (None,)], "iso2 string"
+    )
+    bad = {r["iso2_value"] for r in invalid_iso2(df).collect()}
+    assert bad == {"XX", "ZZ"}
+    ok, offenders = validate_iso2(df)
+    assert not ok and offenders == ["XX", "ZZ"]
+    good = spark.createDataFrame([("us",), ("KE",)], "iso2 string")
+    assert validate_iso2(good) == (True, [])
+
+
+def test_snapshot_time_travel(spark, tmp_path_factory):
+    images = datagen.images_to_spark(spark, 100, with_bytes=False)
+    gaz = datagen.gazetteer_to_spark(spark)
+    _, best = G.geocode_images(images, gaz)
+    t = SnapshotTable(str(tmp_path_factory.mktemp("tt")))
+    write_snapshotted(best, t, n_buckets=4, group_size=2)  # 2 commits
+    hist = t.history()
+    assert len(hist) == 2
+    early = t.read(spark, snapshot_id=0).count()
+    final = t.read(spark).count()
+    assert 0 < early < final == best.count()
+
+
+def test_pick_salt_buckets(spark):
+    # heavily skewed: 90% of points in one cell
+    rows = [(0.001 * (i % 3), 0.001 * (i % 3)) for i in range(900)] + [
+        (float(i % 60), float(i % 120)) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "lat double, lng double")
+    s = T.pick_salt_buckets(df, "lat", "lng", res=6, sample_fraction=1.0)
+    assert s >= 4
+    uniform = spark.createDataFrame(
+        [(float(i % 60), float((i * 7) % 120)) for i in range(1000)], "lat double, lng double"
+    )
+    assert T.pick_salt_buckets(uniform, "lat", "lng", res=2, sample_fraction=1.0, hot_ratio=10.0) == 0
+
+
+def test_cli_end_to_end(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("cli")
+    images_p = str(base / "images")
+    gaz_p = str(base / "gaz")
+    out_p = str(base / "out")
+    datagen.images_to_spark(spark, 80, with_bytes=False).write.parquet(images_p)
+    datagen.gazetteer_to_spark(spark).write.parquet(gaz_p)
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "batch_geocode_spark.cli",
+            "--input", images_p,
+            "--gazetteer", gaz_p,
+            "--output", out_p,
+            "--sources", "GM,OSM",
+            "--layout", "best",
+            "--master", "local[2]",
+            "--n-buckets", "4",
+        ],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    line = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")][-1]
+    report = json.loads(line)
+    assert report["rows"] > 0
+    assert set(report["match_rate_by_source"]) <= {"GM", "OSM"}
+    t = SnapshotTable(out_p)
+    assert t.read(spark).count() == report["rows"]
