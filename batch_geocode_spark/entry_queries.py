@@ -83,6 +83,9 @@ SELECT
   CASE WHEN o_orderkey % 10 < 8
     THEN concat('A photo of a scene near placeville ',
                 CAST(o_orderkey % 50 AS STRING), ', somewhere')
+  WHEN o_orderkey % 10 = 8
+    THEN concat('A photo of a scene near placeville ',
+                CAST(o_orderkey % 50 AS STRING), ' district, somewhere')
     ELSE 'A photo of an empty field' END AS caption
 FROM orders
 """
@@ -950,4 +953,45 @@ ORACLES["q11_sessionize"] = """
       COUNT(*) AS n_events,
       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
     FROM g GROUP BY user_id, grp
+"""
+
+
+def g11_fuzzy_match(spark, sf_dir):
+    """J1 fuzzy path: prefix-key join for captions with no exact
+    gazetteer hit ('placeville N district' → prefix 'placeville N')."""
+    images = _images(spark, sf_dir)
+    gaz = _gaz(spark, sf_dir)
+    fz = G.fuzzy_candidates(images, gaz)
+    return fz.select(
+        "image_id",
+        "gaz_id",
+        "source",
+        "rank",
+        F.round("cand_lat", 6).alias("cand_lat"),
+        F.round("cand_lng", 6).alias("cand_lng"),
+        F.round("buffer", 6).alias("buffer"),
+    )
+
+
+QUERIES["g11_fuzzy_match"] = g11_fuzzy_match
+ORACLES["g11_fuzzy_match"] = GEO_CTES + f""",
+    fg AS (
+      SELECT *, regexp_extract(name_norm, '^(\\S+\\s+\\S+)', 1) AS gaz_prefix
+      FROM gaz),
+    fg_ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY gaz_prefix, source
+                                   ORDER BY api_rank, gaz_id) AS frank
+      FROM fg WHERE gaz_prefix <> ''),
+    misses AS (
+      SELECT image_id, regexp_extract(loc_key, '^(\\S+\\s+\\S+)', 1) AS img_prefix
+      FROM keyed
+      WHERE loc_key NOT IN (SELECT name_norm FROM gaz)
+        AND regexp_extract(loc_key, '^(\\S+\\s+\\S+)', 1) <> '')
+    SELECT m.image_id, f.gaz_id, f.source, f.frank AS rank,
+      ROUND(CASE WHEN f.bb_w IS NOT NULL THEN (f.bb_s + f.bb_n) / 2 ELSE f.lat END, 6) AS cand_lat,
+      ROUND(CASE WHEN f.bb_w IS NOT NULL THEN (f.bb_w + f.bb_e) / 2 ELSE f.lng END, 6) AS cand_lng,
+      ROUND({haversine_sql("COALESCE(f.bb_s, f.lat)", "COALESCE(f.bb_w, f.lng)",
+                           "COALESCE(f.bb_n, f.lat)", "COALESCE(f.bb_e, f.lng)")}, 6) AS buffer
+    FROM misses m JOIN fg_ranked f ON m.img_prefix = f.gaz_prefix
+    WHERE f.frank <= 2
 """

@@ -106,6 +106,50 @@ def _candidate_geometry(gaz: DataFrame) -> DataFrame:
     )
 
 
+def prefix_key(c: F.Column) -> F.Column:
+    """First-2-token prefix of a normalized name — the FuzzyG-style
+    fuzzy join key (reference: geocode/query_funcs.py:472-506 'fuzzy'
+    service; SURVEY.md J1 secondary key). A plain string key: at scale
+    the join hashes it anyway, so a prehash would only save bytes."""
+    return F.regexp_extract(c, r"^(\S+\s+\S+)", 1)
+
+
+def fuzzy_candidates(
+    images: DataFrame,
+    gazetteer: DataFrame,
+    n_results: int = DEFAULT_RESULTS_PER_SOURCE,
+) -> DataFrame:
+    """Fuzzy fallback: images whose loc_key has NO exact gazetteer match
+    are joined on the first-2-token prefix key instead. Same broadcast
+    plan shape as the exact join; top-k per (image, source) by
+    (api_rank, gaz_id)."""
+    # rank per (prefix, source) on the SMALL side before the join — the
+    # rank depends only on gazetteer rows, so this is equivalent to a
+    # per-image post-join rank but costs no shuffle of the big side
+    gaz = (
+        gazetteer.withColumn("gaz_prefix", prefix_key(F.col("name_norm")))
+        .where(F.col("gaz_prefix") != "")
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                W.partitionBy("gaz_prefix", "source").orderBy("api_rank", "gaz_id")
+            ),
+        )
+        .filter(F.col("rank") <= n_results)
+    )
+    gaz = _candidate_geometry(gaz)
+    keyed = images.select(
+        "image_id", extract_loc_key(F.col("caption")).alias("loc_key")
+    ).where(F.col("loc_key").isNotNull())
+    exact_names = gazetteer.select(F.col("name_norm").alias("loc_key")).distinct()
+    misses = keyed.join(F.broadcast(exact_names), "loc_key", "left_anti").withColumn(
+        "img_prefix", prefix_key(F.col("loc_key"))
+    ).where(F.col("img_prefix") != "")
+    return misses.join(
+        F.broadcast(gaz), F.col("img_prefix") == F.col("gaz_prefix"), "inner"
+    ).drop("loc_key", "img_prefix", "gaz_prefix", "name_norm")
+
+
 def vet_candidates(candidates: DataFrame, max_buffer: float = DEFAULT_MAX_BUFFER_KM) -> DataFrame:
     """Buffer vetting (reference: geocode/query_funcs.py:199-207)."""
     return candidates.filter(F.col("buffer") <= F.lit(max_buffer))

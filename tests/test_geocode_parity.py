@@ -104,3 +104,24 @@ def test_tile_density_matches_oracle(data):
     )
     assert tiles["cell"].tolist() == want.index.tolist()
     assert tiles["count"].tolist() == want.values.tolist()
+
+
+def test_fuzzy_candidates_prefix_semantics(spark):
+    """Fuzzy fallback fires only for exact-miss keys and matches on the
+    first-2-token prefix."""
+    from pyspark.sql import functions as F
+
+    images = spark.createDataFrame(
+        [
+            ("i0", "A photo near Placeville 3 district, x"),  # fuzzy hit
+            ("i1", "A photo near Placeville 3, x"),  # exact hit -> excluded
+            ("i2", "A photo near Totally Unknown, x"),  # prefix miss
+        ],
+        "image_id string, caption string",
+    )
+    gaz = datagen.gazetteer_to_spark(spark)
+    fz = G.fuzzy_candidates(images, gaz).toPandas()
+    assert set(fz["image_id"]) == {"i0"}
+    assert (fz["rank"] <= 2).all()
+    # fuzzy candidates all share the prefix 'placeville 3'
+    assert fz["name"].str.lower().str.startswith("placeville 3").all()
