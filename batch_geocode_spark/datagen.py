@@ -188,6 +188,44 @@ def _poly_row(aid, iso, level, name, w, s, e, n):
     )
 
 
+def make_image_row(i: int, seed: int = 42) -> dict:
+    """One deterministic image row (used by the distributed generator)."""
+    ws, hs, fmts = [16, 32, 64], [16, 24, 48], ["ppm", "dctq"]
+    w, h, fmt = ws[i % 3], hs[i % 3], fmts[i % 2]
+    caption, _ = caption_for(i)
+    rng = np.random.default_rng(seed + i)
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = (yy * 255 // max(h - 1, 1))[:, :, None] * np.asarray([1, 0, 0]) + (
+        xx * 255 // max(w - 1, 1)
+    )[:, :, None] * np.asarray([0, 1, 0])
+    img = np.clip(base + rng.integers(0, 32, size=(h, w, 3)), 0, 255).astype(np.uint8)
+    buf = codecs.encode_image(img, fmt)
+    ph = codecs.average_hash(codecs.decode_image(buf, fmt))
+    return dict(
+        image_id=f"img{i:012d}", bytes=buf, w=w, h=h, fmt=fmt, caption=caption, phash=ph
+    )
+
+
+def generate_images_distributed(spark, n: int, seed: int = 42):
+    """Synthesize the full input_hint table DISTRIBUTED: mapInPandas over
+    a range — each executor thread generates + encodes its slice with
+    numpy (deterministic per row index), so multi-GB fixtures build in
+    seconds instead of hours on the driver."""
+    import pandas as pd
+
+    def gen(it):
+        for pdf in it:
+            rows = [make_image_row(int(i), seed) for i in pdf["id"]]
+            yield pd.DataFrame(rows)
+
+    schema = (
+        "image_id string, bytes binary, w int, h int, fmt string, caption string, phash long"
+    )
+    return spark.range(0, n, 1, max(spark.sparkContext.defaultParallelism * 4, 8)).mapInPandas(
+        gen, schema=schema
+    )
+
+
 # --------------------------------------------------------------- spark side
 def images_to_spark(spark, n: int, seed: int = 42, with_bytes: bool = True):
     schema = (

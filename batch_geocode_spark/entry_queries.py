@@ -168,7 +168,10 @@ def _gaz(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _images(spark: SparkSession, sf_dir: str) -> DataFrame:
     _views(spark, sf_dir)
-    return spark.sql(IMAGES_SQL)
+    # the driver parquet files are single-row-group → a bare scan is ONE
+    # task and everything pipelined on it runs serially; real 100TB
+    # inputs have millions of splits, so spread explicitly here
+    return spark.sql(IMAGES_SQL).repartition(spark.sparkContext.defaultParallelism)
 
 
 def _admin_polys(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -56,13 +56,21 @@ def build_candidates(
     images: DataFrame,
     gazetteer: DataFrame,
     n_results: int = DEFAULT_RESULTS_PER_SOURCE,
-    dedup_keys: bool = True,
+    dedup_keys: bool = False,
 ) -> DataFrame:
     """Long-form candidates: one row per (image_id, source, rank).
 
     Plan shape: [images: extract key, drop payload] ⋈_broadcast
     [gazetteer: rank ≤ n per (name, source)] — a single broadcast hash
     join, no shuffle on the big side.
+
+    ``dedup_keys=True`` geocodes distinct keys then re-joins — the
+    reference re-queries per row (geocode/batch_geocode.py:173-182) and
+    there each lookup is an HTTP call, so dedup is a huge win. Here the
+    lookup is a broadcast hash probe, so dedup only pays when key
+    extraction is expensive relative to the probe; measured at sf0.1 the
+    dedup plan is ~2.7× SLOWER (it scans+regexes the input twice and
+    adds a full-input distinct shuffle), hence default False.
     """
     gaz = gazetteer.withColumn(
         "rank",

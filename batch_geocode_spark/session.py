@@ -37,12 +37,27 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
+        # local test files are small; the 128MB/4MB defaults would fuse
+        # them into ~8 scan partitions and starve the other cores
+        .config("spark.sql.files.maxPartitionBytes", "16m")
+        .config("spark.sql.files.openCostInBytes", "1m")
         .config("spark.sql.session.timeZone", "UTC")
         # NOTE: empirically a 48g local heap triggers ~100s GC stalls on
         # this workload; 16g is ample for sf0.1 and keeps pauses short
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        # G1's concurrent cycles collapse (10-40x slowdowns, huge
+        # variance) under the humongous-allocation storm of Arrow binary
+        # batches; throughput-oriented ParallelGC is stable and fast here
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get("SPARK_DRIVER_JAVA_OPTS", "-XX:+UseParallelGC"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # this sandbox's virtual disk is slow and does not scale with
+        # cores; shuffle/spill on tmpfs is the stand-in for the per-node
+        # NVMe a real cluster provides (override with SPARK_LOCAL_DIRS)
+        .config("spark.local.dir", os.environ.get("SPARK_LOCAL_DIRS", "/dev/shm/spark-local"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

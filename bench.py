@@ -58,10 +58,14 @@ def run(sf_dir: str, cpus: str) -> dict:
         timings[name] = round(best, 3)
 
     # flagship throughput: images/sec through geocode → cell → density
+    # (best-of-2, same stall rationale as above)
     n_images = spark.sql(EQ.IMAGES_SQL).count()
-    t0 = time.perf_counter()
-    EQ.g04_tile_density(spark, sf_dir).collect()
-    flagship_sec = time.perf_counter() - t0
+    flagship_sec = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        EQ.g04_tile_density(spark, sf_dir).collect()
+        dt = time.perf_counter() - t0
+        flagship_sec = dt if flagship_sec is None else min(flagship_sec, dt)
     spark.stop()
 
     total = round(sum(timings.values()), 3)
