@@ -483,9 +483,9 @@ def d04_ngram_jaccard(spark, sf_dir):
     from batch_geocode_spark.operators import dedup as D
 
     _views(spark, sf_dir)
-    return D.ngram_jaccard_pairs(
-        spark.table("documents"), n=4, threshold=0.05, max_df=10**6
-    )
+    # single-row-group file -> spread before the shingle explode
+    docs = spark.table("documents").repartition(spark.sparkContext.defaultParallelism)
+    return D.ngram_jaccard_pairs(docs, n=4, threshold=0.05, max_df=10**6)
 
 
 def d05_minhash_lsh(spark, sf_dir):
@@ -494,7 +494,8 @@ def d05_minhash_lsh(spark, sf_dir):
     from batch_geocode_spark.operators import dedup as D
 
     _views(spark, sf_dir)
-    return D.minhash_lsh_pairs(spark.table("documents"), n=4, threshold=0.5)
+    docs = spark.table("documents").repartition(spark.sparkContext.defaultParallelism)
+    return D.minhash_lsh_pairs(docs, n=4, threshold=0.5)
 
 
 def d06_simhash_fingerprints(spark, sf_dir):
@@ -502,7 +503,8 @@ def d06_simhash_fingerprints(spark, sf_dir):
     from batch_geocode_spark.operators import dedup as D
 
     _views(spark, sf_dir)
-    return D.simhash_fingerprints(spark.table("documents"))
+    docs = spark.table("documents").repartition(spark.sparkContext.defaultParallelism)
+    return D.simhash_fingerprints(docs)
 
 
 def e02_cosine_near_dup(spark, sf_dir):

@@ -129,20 +129,36 @@ def minhash_signatures(
     hashes through affine permutations, keyed min-aggregate (map-side
     combine keeps shuffle volume at num_perm rows/doc)."""
     a, b = _perm_params(num_perm, seed)
+    a_arr = np.asarray(a, dtype=np.int64)
+    b_arr = np.asarray(b, dtype=np.int64)
     sh = word_shingles(docs, n=n)
     base = sh.select("doc_id", F.pmod(F.xxhash64("shingle"), F.lit(MERSENNE_P31)).alias("x"))
-    perms = F.array(
-        *[
-            F.struct(F.lit(i).alias("perm"), F.lit(a[i]).alias("a"), F.lit(b[i]).alias("b"))
-            for i in range(num_perm)
-        ]
-    )
-    expl = base.select("doc_id", "x", F.explode(perms).alias("p")).select(
-        "doc_id",
-        F.col("p.perm").alias("perm"),
-        F.pmod(F.col("p.a") * F.col("x") + F.col("p.b"), F.lit(MERSENNE_P31)).alias("h"),
-    )
-    return expl.groupBy("doc_id", "perm").agg(F.min("h").alias("sig"))
+    grouped = base.groupBy("doc_id").agg(F.collect_list("x").alias("xs"))
+
+    def sig(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        perm_idx = np.arange(num_perm, dtype=np.int32)
+        for pdf in it:
+            docs_out, perms_out, sigs_out = [], [], []
+            for r in pdf.itertuples():
+                x = np.asarray(r.xs, dtype=np.int64)
+                # (num_perm, n_shingles) affine permutations, vectorized;
+                # identical values to an explode+min plan, ~10× cheaper
+                mins = ((a_arr[:, None] * x[None, :] + b_arr[:, None]) % MERSENNE_P31).min(
+                    axis=1
+                )
+                docs_out.append(np.full(num_perm, r.doc_id, dtype=np.int64))
+                perms_out.append(perm_idx)
+                sigs_out.append(mins)
+            if docs_out:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": np.concatenate(docs_out),
+                        "perm": np.concatenate(perms_out),
+                        "sig": np.concatenate(sigs_out),
+                    }
+                )
+
+    return grouped.mapInPandas(sig, schema="doc_id long, perm int, sig long")
 
 
 def minhash_lsh_pairs(
@@ -171,26 +187,21 @@ def minhash_lsh_pairs(
         .select("doc_a", "doc_b")
         .distinct()
     )
+    # exact verify per candidate pair via array_intersect on the two
+    # docs' shingle sets — O(candidates), not an inverted-index self-join
+    # over the whole corpus (that shape is for all-pairs queries, see
+    # ngram_jaccard_pairs)
     sh = word_shingles(docs, n=n)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
-    fa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    fb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
-        fa.join(fb, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .join(cand, ["doc_a", "doc_b"], "left_semi")
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
+    sets = sh.groupBy("doc_id").agg(F.collect_set("shingle").alias("shingles"))
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    joined = cand.join(sa, "doc_a").join(sb, "doc_b")
+    n_inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    jac = n_inter / (F.size("sh_a") + F.size("sh_b") - n_inter)
     return (
-        inter.join(sizes.withColumnsRenamed({"doc_id": "doc_a", "set_size": "size_a"}), "doc_a")
-        .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "set_size": "size_b"}), "doc_b")
-        .withColumn(
-            "jaccard",
-            F.col("n_inter") / (F.col("size_a") + F.col("size_b") - F.col("n_inter")),
-        )
+        joined.withColumn("jaccard", F.round(jac, 6))
         .filter(F.col("jaccard") >= F.lit(threshold))
-        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+        .select("doc_a", "doc_b", "jaccard")
     )
 
 

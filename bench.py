@@ -32,6 +32,9 @@ HEADLINE = [
     "q01_pricing_summary",
     "q05_revenue_by_nation",
     "e01_cosine_topk",
+    "e02_cosine_near_dup",
+    "d05_minhash_lsh",
+    "t02_quality_scores",
 ]
 
 
