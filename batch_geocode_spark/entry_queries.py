@@ -1000,3 +1000,26 @@ ORACLES["g11_fuzzy_match"] = GEO_CTES + f""",
     FROM misses m JOIN fg_ranked f ON m.img_prefix = f.gaz_prefix
     WHERE f.frank <= 2
 """
+
+
+def q12_pivot(spark, sf_dir):
+    """Pivot: order counts + decimal-exact revenue per priority,
+    pivoted on order status."""
+    _views(spark, sf_dir)
+    return (
+        spark.table("orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .withColumnsRenamed({"F": "n_f", "O": "n_o", "P": "n_p"})
+    )
+
+
+QUERIES["q12_pivot"] = q12_pivot
+ORACLES["q12_pivot"] = """
+    SELECT o_orderpriority,
+      COUNT(*) FILTER (o_orderstatus = 'F') AS n_f,
+      COUNT(*) FILTER (o_orderstatus = 'O') AS n_o,
+      COUNT(*) FILTER (o_orderstatus = 'P') AS n_p
+    FROM orders GROUP BY o_orderpriority
+"""
