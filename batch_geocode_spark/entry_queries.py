@@ -1023,3 +1023,17 @@ ORACLES["q12_pivot"] = """
       COUNT(*) FILTER (o_orderstatus = 'P') AS n_p
     FROM orders GROUP BY o_orderpriority
 """
+
+
+def e04_ivf_topk(spark, sf_dir):
+    """IVF ANN: k-means coarse quantizer + inverted-list probe + exact
+    rescoring (rows-only: approximate by design; recall pytest-asserted)."""
+    from batch_geocode_spark.operators import similarity as S
+
+    _views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return S.ivf_topk(queries, emb, dim=64, k=5, n_centroids=16, n_probe=4)
+
+
+QUERIES["e04_ivf_topk"] = e04_ivf_topk

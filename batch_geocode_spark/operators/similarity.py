@@ -212,3 +212,93 @@ def cosine_near_dup_pairs(
     return vecs.select("vec_id", "embedding").mapInPandas(
         block, schema="id_a long, id_b long, cos_sim double"
     )
+
+
+def _kmeans_lite(mat: np.ndarray, n_centroids: int, iters: int = 8, seed: int = 42):
+    """Deterministic seeded k-means on a (sampled) matrix — numpy only,
+    driver-side; the IVF coarse quantizer."""
+    rng = np.random.default_rng(seed)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    idx = rng.choice(len(mat), size=min(n_centroids, len(mat)), replace=False)
+    cents = mat[idx].copy()
+    for _ in range(iters):
+        assign = np.argmax(mat @ cents.T, axis=1)
+        for c in range(len(cents)):
+            members = mat[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                nv = np.linalg.norm(v)
+                if nv > 0:
+                    cents[c] = v / nv
+    return cents
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    train_sample: int = 4096,
+) -> DataFrame:
+    """IVF approximate top-k: a seeded k-means coarse quantizer assigns
+    every corpus vector to its nearest centroid (inverted lists); each
+    query probes its ``n_probe`` nearest centroids and rescoring is
+    exact cosine on those lists only. The other classic ANN shape next
+    to hyperplane LSH (``ann_lsh_topk``): candidate generation is an
+    equi-join on centroid id — never a cross join."""
+    train = corpus.limit(train_sample).toPandas()
+    tmat = np.stack([np.asarray(v, dtype=np.float64) for v in train["embedding"]])
+    cents = _kmeans_lite(tmat, n_centroids, seed=seed)
+
+    def assign_corpus(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+            m = m / np.linalg.norm(m, axis=1, keepdims=True)
+            yield pd.DataFrame(
+                {
+                    "corpus_id": pdf["vec_id"].to_numpy(np.int64),
+                    "centroid": np.argmax(m @ cents.T, axis=1).astype(np.int32),
+                }
+            )
+
+    def assign_queries(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+            m = m / np.linalg.norm(m, axis=1, keepdims=True)
+            sims = m @ cents.T
+            top = np.argsort(-sims, axis=1)[:, :n_probe].astype(np.int32)
+            ids = np.repeat(pdf["vec_id"].to_numpy(np.int64), n_probe)
+            yield pd.DataFrame({"query_id": ids, "centroid": top.ravel()})
+
+    clists = corpus.select("vec_id", "embedding").mapInPandas(
+        assign_corpus, schema="corpus_id long, centroid int"
+    )
+    probes = queries.select("vec_id", "embedding").mapInPandas(
+        assign_queries, schema="query_id long, centroid int"
+    )
+    cand = (
+        probes.join(clists, "centroid")
+        .filter(F.col("query_id") != F.col("corpus_id"))
+        .select("query_id", "corpus_id")
+        .distinct()
+    )
+    q = queries.select(
+        F.col("vec_id").alias("query_id"), _as_double(F.col("embedding")).alias("qv")
+    ).withColumn("qn", _norm(F.col("qv")))
+    c = corpus.select(
+        F.col("vec_id").alias("corpus_id"), _as_double(F.col("embedding")).alias("cv")
+    ).withColumn("cn", _norm(F.col("cv")))
+    scored = (
+        cand.join(F.broadcast(q), "query_id")
+        .join(c, "corpus_id")
+        .withColumn("cos_sim", _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("corpus_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", F.round("cos_sim", 6).alias("cos_sim"), "rank")
+    )

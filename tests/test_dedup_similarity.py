@@ -151,3 +151,14 @@ def test_cosine_near_dup_lsh_vs_exact(vectors):
     assert ep, "fixture must contain near-dup pairs"
     assert lp <= ep  # LSH never invents pairs (exact verify)
     assert len(lp) >= 0.9 * len(ep)
+
+
+def test_ivf_topk_recall(vectors):
+    exact = S.brute_force_topk(vectors, vectors, k=1).toPandas()
+    approx = S.ivf_topk(vectors, vectors, dim=16, k=1, n_centroids=8, n_probe=3).toPandas()
+    e = exact.set_index("query_id")["corpus_id"]
+    a = approx.set_index("query_id")["corpus_id"]
+    common = e.index.intersection(a.index)
+    recall = (e.loc[common] == a.loc[common]).mean()
+    assert recall >= 0.9  # planted twins land in the same inverted list
+    assert len(a) >= 0.9 * len(e)
