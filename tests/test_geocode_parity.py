@@ -125,3 +125,42 @@ def test_fuzzy_candidates_prefix_semantics(spark):
     assert (fz["rank"] <= 2).all()
     # fuzzy candidates all share the prefix 'placeville 3'
     assert fz["name"].str.lower().str.startswith("placeville 3").all()
+
+
+def test_wide_nan_pattern_parity(data):
+    """SURVEY §5 item 1: the wide output's null pattern matches the
+    reference semantics — a {src}{rank}_ block is non-null exactly when
+    that candidate exists and survives the buffer vet."""
+    images_pd, gaz_pd, images, gaz = data
+    vetted, best = G.geocode_images(images, gaz)
+    wide = G.to_wide(images, vetted, best).toPandas().set_index("image_id")
+
+    # oracle: recompute surviving candidates per image with pandas
+    from batch_geocode_spark.oracle.pandas_oracle import (
+        _diag_km,
+        _points_for,
+        extract_key_default,
+    )
+
+    gaz_by_name = {k: g.sort_values(["api_rank", "gaz_id"]) for k, g in gaz_pd.groupby("name_norm")}
+    checked = 0
+    for img in images_pd.itertuples():
+        key = extract_key_default(img.caption)
+        expected_prefixes = set()
+        if key in gaz_by_name:
+            for src, grp in gaz_by_name[key].groupby("source", sort=True):
+                for rank, row in enumerate(grp.head(2).itertuples(), start=1):
+                    if _diag_km(_points_for(row)) <= 15.0:
+                        expected_prefixes.add(f"{src}{rank}")
+        row = wide.loc[img.image_id]
+        for col in wide.columns:
+            if col.endswith("_lat") and not col.startswith("best"):
+                prefix = col[: -len("_lat")]
+                import pandas as pd
+
+                assert pd.notna(row[col]) == (prefix in expected_prefixes), (
+                    img.image_id,
+                    prefix,
+                )
+        checked += 1
+    assert checked == len(images_pd)
