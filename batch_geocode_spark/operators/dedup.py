@@ -206,14 +206,27 @@ def minhash_lsh_pairs(
 
 
 # ------------------------------------------------------------------ SimHash
-def simhash_fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def simhash_fingerprints(
+    docs: DataFrame, text_col: str = "text", token_hash: str = "xxhash64"
+) -> DataFrame:
     """64-bit SimHash per doc: token hashes aggregated JVM-side
     (collect_list after distinct-free explode), sign accumulation
-    vectorized in one Arrow batch pass."""
+    vectorized in one Arrow batch pass.
+
+    ``token_hash='md5_60'`` swaps the per-token hash for the cross-engine
+    md5-derived 60-bit hash (functions.hashing) so a DuckDB oracle can
+    reproduce the fingerprints value-for-value; xxhash64 stays the
+    production default."""
+    from batch_geocode_spark.functions.hashing import hash60
+
+    if token_hash == "xxhash64":
+        h = F.xxhash64("tok")
+    elif token_hash == "md5_60":
+        h = hash60(F.col("tok"))
+    else:
+        raise ValueError(f"unknown token_hash {token_hash!r}")
     toks = F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok")
-    th = docs.select("doc_id", toks).select(
-        "doc_id", F.xxhash64("tok").alias("th")
-    )
+    th = docs.select("doc_id", toks).select("doc_id", h.alias("th"))
     grouped = th.groupBy("doc_id").agg(F.collect_list("th").alias("hashes"))
 
     def fp(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -234,12 +247,27 @@ def simhash_fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return grouped.mapInPandas(fp, schema="doc_id long, simhash long")
 
 
-def simhash_near_dup_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+def simhash_near_dup_pairs(
+    docs: DataFrame, max_hamming: int = 3, token_hash: str = "xxhash64"
+) -> DataFrame:
     """Near-dup pairs with hamming(simhash) ≤ k via 16-bit band blocking
     (any equal quarter ⇒ candidate; exact hamming verify after)."""
-    fps = simhash_fingerprints(docs)
+    fps = simhash_fingerprints(docs, token_hash=token_hash)
+    return simhash_band_pairs(fps, max_hamming=max_hamming)
+
+
+def simhash_band_pairs(fps: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Band-blocked near-dup pairs over precomputed (doc_id, simhash).
+
+    Quarter keys are extracted SIGN-SAFELY with bitwiseAND(0xFFFF) —
+    Spark's ``%`` keeps the dividend's sign, so a modulo formulation
+    gives negative fingerprints negative q0 keys and silently misses
+    hamming≤3 pairs that differ in the sign bit (the pigeonhole
+    guarantee needs bit-identical quarters to produce equal keys)."""
     quarters = [
-        (F.shiftrightunsigned(F.col("simhash"), 16 * i) % F.lit(1 << 16)).alias(f"q{i}")
+        (F.shiftrightunsigned(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF))).alias(
+            f"q{i}"
+        )
         for i in range(4)
     ]
     q = fps.select("doc_id", "simhash", *quarters)

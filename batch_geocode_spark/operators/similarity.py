@@ -249,7 +249,10 @@ def ivf_topk(
     exact cosine on those lists only. The other classic ANN shape next
     to hyperplane LSH (``ann_lsh_topk``): candidate generation is an
     equi-join on centroid id — never a cross join."""
-    train = corpus.limit(train_sample).toPandas()
+    # orderBy before limit: a bare limit is not stable across partition
+    # layouts, which would make the "deterministic seeded" quantizer
+    # depend on scan order
+    train = corpus.orderBy("vec_id").limit(train_sample).toPandas()
     tmat = np.stack([np.asarray(v, dtype=np.float64) for v in train["embedding"]])
     cents = _kmeans_lite(tmat, n_centroids, seed=seed)
 

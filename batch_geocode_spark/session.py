@@ -10,8 +10,28 @@ default.
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
+
+
+def _default_local_dir() -> str:
+    """Shuffle/spill dir: explicit env wins; else tmpfs when it is
+    actually present and big enough (this sandbox's virtual disk does
+    not scale with cores); else the system temp dir — RAM-backed
+    /dev/shm must never be the blind default on hosts where spilling
+    into it would exhaust memory."""
+    explicit = os.environ.get("SPARK_LOCAL_DIRS")
+    if explicit:
+        return explicit
+    shm = "/dev/shm"
+    try:
+        st = os.statvfs(shm)
+        if st.f_bavail * st.f_frsize >= (8 << 30):  # ≥8 GiB free tmpfs
+            return os.path.join(shm, "spark-local")
+    except OSError:
+        pass
+    return os.path.join(tempfile.gettempdir(), "spark-local")
 
 
 def get_spark(
@@ -56,8 +76,9 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # this sandbox's virtual disk is slow and does not scale with
         # cores; shuffle/spill on tmpfs is the stand-in for the per-node
-        # NVMe a real cluster provides (override with SPARK_LOCAL_DIRS)
-        .config("spark.local.dir", os.environ.get("SPARK_LOCAL_DIRS", "/dev/shm/spark-local"))
+        # NVMe a real cluster provides (override with SPARK_LOCAL_DIRS;
+        # falls back to the system temp dir when /dev/shm is absent/small)
+        .config("spark.local.dir", _default_local_dir())
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -8,6 +8,11 @@ manifest commit log:
   pmod(xxhash64(key), n_buckets) — deterministic per row key, so a
   re-run produces identical partitioning (required for idempotence;
   never monotonically_increasing_id, see SURVEY.md §1.4).
+- append-style writers (streaming micro-batches) pass ``namespace``:
+  data lands under ``data/ns=<namespace>/bucket=N`` and manifest keys
+  become ``<namespace>/N``, so batches never overwrite each other and
+  a replayed batch (same namespace) is idempotent — dynamic partition
+  overwrite only touches that batch's own partitions.
 - a snapshot = JSON manifest listing committed buckets with per-bucket
   row counts + lineage (parent snapshot id, job id). Manifests are
   written temp-then-rename; ``CURRENT`` is updated last → atomic commit.
@@ -59,12 +64,21 @@ class SnapshotTable:
         with open(os.path.join(self.manifest_dir, name)) as f:
             return json.load(f)
 
-    def committed_buckets(self) -> dict[int, int]:
-        """bucket -> row count across the whole committed lineage."""
-        snap = self.current()
-        return {int(k): v for k, v in (snap or {}).get("buckets", {}).items()}
+    def committed_buckets(self) -> dict[str, int]:
+        """bucket key -> row count across the whole committed lineage.
 
-    def commit(self, new_buckets: dict[int, int], job_id: str, extra: dict | None = None) -> dict:
+        Keys are ``"N"`` for plain writes or ``"<namespace>/N"`` for
+        namespaced (append-mode) writes."""
+        snap = self.current()
+        return {str(k): int(v) for k, v in (snap or {}).get("buckets", {}).items()}
+
+    def commit(
+        self,
+        new_buckets: dict[int | str, int],
+        job_id: str,
+        extra: dict | None = None,
+        schema_json: str | None = None,
+    ) -> dict:
         parent = self.current()
         snap_id = (parent["snapshot_id"] + 1) if parent else 0
         buckets = dict((parent or {}).get("buckets", {}))
@@ -77,6 +91,8 @@ class SnapshotTable:
             "buckets": buckets,
             "total_rows": int(sum(buckets.values())),
             "metrics": extra or {},
+            # row schema (JSON) so sparse/empty tables stay readable
+            "schema": schema_json or (parent or {}).get("schema"),
         }
         name = f"snapshot-{snap_id:06d}.json"
         tmp = os.path.join(self.manifest_dir, f".{name}.tmp")
@@ -100,8 +116,20 @@ class SnapshotTable:
         return out
 
     # ----------------------------------------------------------------- read
+    def _bucket_path(self, key: str) -> str:
+        if "/" in key:
+            ns, b = key.split("/", 1)
+            return os.path.join(self.data_dir, f"ns={ns}", f"bucket={b}")
+        return os.path.join(self.data_dir, f"bucket={key}")
+
     def read(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame:
         """Committed rows only (uncommitted bucket dirs are invisible).
+
+        Zero-count buckets are committed in the manifest but produce no
+        directory under dynamic partition overwrite, so they are skipped
+        when assembling the path list (sparse/skewed inputs would
+        otherwise raise PATH_NOT_FOUND). An all-empty committed table
+        reads back as an empty DataFrame via the manifest schema.
 
         ``snapshot_id`` time-travels: buckets visible as of that commit.
         NOTE: bucket dirs are overwritten in place, so time travel is
@@ -109,17 +137,24 @@ class SnapshotTable:
         lineage) — the common resume case; a full Iceberg catalog would
         version data files too.
         """
-        if snapshot_id is None:
-            buckets = self.committed_buckets()
-        else:
-            snap = self.snapshot(snapshot_id)
-            buckets = {int(k): v for k, v in snap["buckets"].items()}
-        committed = sorted(buckets)
-        if not committed:
+        snap = self.current() if snapshot_id is None else self.snapshot(snapshot_id)
+        if snap is None:
             raise ValueError(f"no committed snapshot in {self.root}")
-        return spark.read.option("basePath", self.data_dir).parquet(
-            *[os.path.join(self.data_dir, f"bucket={b}") for b in committed]
-        )
+        buckets = {str(k): int(v) for k, v in snap.get("buckets", {}).items()}
+        if not buckets:
+            raise ValueError(f"no committed snapshot in {self.root}")
+        paths = [self._bucket_path(k) for k, n in sorted(buckets.items()) if n > 0]
+        if not paths:
+            schema_json = snap.get("schema")
+            if schema_json is None:
+                raise ValueError(
+                    f"committed table in {self.root} is empty and carries no schema"
+                )
+            from pyspark.sql.types import StructType
+
+            schema = StructType.fromJson(json.loads(schema_json))
+            return spark.read.schema(schema).parquet(self.data_dir)
+        return spark.read.option("basePath", self.data_dir).parquet(*paths)
 
     def snapshot(self, snapshot_id: int) -> dict:
         path = os.path.join(self.manifest_dir, f"snapshot-{snapshot_id:06d}.json")
@@ -135,9 +170,18 @@ def write_snapshotted(
     group_size: int = 8,
     job_id: str | None = None,
     fail_after_groups: int | None = None,
+    namespace: str | None = None,
 ) -> dict:
     """Write ``df`` into ``table`` in bucket groups, committing a snapshot
     (with per-bucket row counts + lineage) after each group.
+
+    ``namespace`` enables append mode: data lands under
+    ``data/ns=<namespace>/bucket=N`` so successive writers (e.g.
+    streaming micro-batches, one namespace per batch) accumulate instead
+    of overwriting each other, while a REPLAY of the same namespace is
+    still idempotent (its committed buckets are skipped, its dirs are
+    the only ones dynamic-partition-overwrite touches). A table should
+    be written either always-plain or always-namespaced.
 
     ``fail_after_groups`` injects a crash after N commits (tests).
     Resume = call again with the same args: committed buckets are
@@ -148,21 +192,37 @@ def write_snapshotted(
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
     bucketed = df.withColumn("bucket", bucket_expr(key_col, n_buckets))
+    part_cols = ["bucket"]
+    if namespace is not None:
+        if "/" in namespace or "=" in namespace:
+            raise ValueError(f"invalid namespace {namespace!r} (no '/' or '=')")
+        bucketed = bucketed.withColumn("ns", F.lit(namespace))
+        part_cols = ["ns", "bucket"]
+
+    def key_of(b: int) -> str:
+        return str(b) if namespace is None else f"{namespace}/{b}"
+
     done = set(table.committed_buckets())
-    pending = [b for b in range(n_buckets) if b not in done]
+    pending = [b for b in range(n_buckets) if key_of(b) not in done]
     groups = [pending[i : i + group_size] for i in range(0, len(pending), group_size)]
+    schema_json = bucketed.schema.json()
 
     last = table.current() or {}
     for gi, group in enumerate(groups):
         part = bucketed.filter(F.col("bucket").isin([int(b) for b in group]))
-        part.write.mode("overwrite").partitionBy("bucket").parquet(table.data_dir)
+        part.write.mode("overwrite").partitionBy(*part_cols).parquet(table.data_dir)
         counts = {
-            int(r["bucket"]): int(r["count"])
+            key_of(int(r["bucket"])): int(r["count"])
             for r in part.groupBy("bucket").count().collect()
         }
         for b in group:  # empty buckets still count as committed
-            counts.setdefault(int(b), 0)
-        last = table.commit(counts, job_id, extra={"group_index": gi, "group": list(group)})
+            counts.setdefault(key_of(int(b)), 0)
+        last = table.commit(
+            counts,
+            job_id,
+            extra={"group_index": gi, "group": list(group), "namespace": namespace},
+            schema_json=schema_json,
+        )
         if fail_after_groups is not None and gi + 1 >= fail_after_groups:
             raise RuntimeError(f"injected failure after {gi + 1} group commits")
     return last

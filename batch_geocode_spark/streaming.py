@@ -37,15 +37,21 @@ def stream_geocode_to_snapshots(
     checkpoint_dir: str,
     res: int = 9,
     available_now: bool = True,
+    max_files_per_trigger: int | None = None,
 ):
     """Stream image parquet drops → geocode → cell density → snapshot.
 
     Each micro-batch runs the full batch pipeline (broadcast join, vet,
     composite-best, cell encode, density) and appends a density delta
-    keyed by (cell, batch_id); readers aggregate deltas with
-    ``read_density``. Restart safety = streaming checkpoint (source
-    offsets) + snapshot manifest (committed output)."""
-    stream = spark.readStream.schema(IMAGES_SCHEMA).parquet(input_dir)
+    under a batch-scoped snapshot namespace (``batch-<id>``), so later
+    batches never collide with or overwrite earlier ones; readers
+    aggregate the deltas with ``read_density``. Restart safety =
+    streaming checkpoint (source offsets) + snapshot manifest (committed
+    output): a replayed batch reuses its namespace and is idempotent."""
+    reader = spark.readStream.schema(IMAGES_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_dir)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -61,6 +67,7 @@ def stream_geocode_to_snapshots(
             n_buckets=8,
             group_size=8,
             job_id=f"stream-batch-{batch_id}",
+            namespace=f"batch-{batch_id}",
         )
 
     writer = (

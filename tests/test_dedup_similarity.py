@@ -162,3 +162,29 @@ def test_ivf_topk_recall(vectors):
     recall = (e.loc[common] == a.loc[common]).mean()
     assert recall >= 0.9  # planted twins land in the same inverted list
     assert len(a) >= 0.9 * len(e)
+
+
+def test_simhash_band_pairs_opposite_sign(spark):
+    """Regression (ADVICE r1): a hamming=1 pair differing only in the
+    sign bit shares quarters q0..q2 bit-for-bit; the band keys must be
+    extracted sign-safely (a sign-preserving % gave the negative
+    fingerprint negative keys and silently missed the pair)."""
+    a = 1
+    b = int(np.int64(np.uint64(1) | (np.uint64(1) << np.uint64(63))))
+    fps = spark.createDataFrame([(0, a), (1, b)], "doc_id long, simhash long")
+    got = D.simhash_band_pairs(fps, max_hamming=3).toPandas()
+    assert [(r.doc_a, r.doc_b, r.hamming) for r in got.itertuples()] == [(0, 1, 1)]
+
+
+def test_simhash_md5_60_token_hash(spark):
+    """The cross-engine token hash produces stable fingerprints and the
+    same identical-doc behavior as the xxhash64 default."""
+    pdf = pd.DataFrame(
+        {"doc_id": [0, 1, 2], "text": ["alpha beta gamma", "alpha beta gamma", "x y z"]}
+    )
+    d = spark.createDataFrame(pdf)
+    fps = D.simhash_fingerprints(d, token_hash="md5_60").toPandas().set_index("doc_id")
+    assert fps.loc[0, "simhash"] == fps.loc[1, "simhash"]
+    assert fps.loc[0, "simhash"] != fps.loc[2, "simhash"]
+    # 60-bit token hashes -> bits 60..63 accumulate negative -> always 0
+    assert all(int(v) >= 0 and int(v) < (1 << 60) for v in fps["simhash"])

@@ -64,3 +64,48 @@ def test_idempotent_rerun_after_complete(spark, best_df, tmp_path_factory):
     write_snapshotted(best_df, t, n_buckets=4, group_size=4)  # no pending work
     assert t.current()["snapshot_id"] == snap1["snapshot_id"]
     assert t.read(spark).count() == best_df.count()
+
+
+def test_sparse_empty_buckets_readable(spark, tmp_path_factory):
+    """Regression (ADVICE r1): zero-count buckets produce no bucket=N
+    dir; read() must skip them instead of raising PATH_NOT_FOUND."""
+    t = SnapshotTable(str(tmp_path_factory.mktemp("sparse")))
+    df = spark.createDataFrame([("a", 1), ("b", 2)], "image_id string, v int")
+    write_snapshotted(df, t, n_buckets=32, group_size=32)
+    assert len(t.committed_buckets()) == 32
+    got = t.read(spark)
+    assert got.count() == 2
+
+
+def test_all_empty_table_readable(spark, tmp_path_factory):
+    """A committed-but-empty table reads back as an empty DataFrame via
+    the manifest schema (no data files exist at all)."""
+    t = SnapshotTable(str(tmp_path_factory.mktemp("empty")))
+    df = spark.createDataFrame([], "image_id string, v int")
+    write_snapshotted(df, t, n_buckets=4, group_size=4)
+    got = t.read(spark)
+    assert got.count() == 0
+    assert "image_id" in got.columns and "v" in got.columns
+
+
+def test_namespaced_appends_accumulate_and_replay_idempotent(spark, tmp_path_factory):
+    """Append mode: per-namespace writes accumulate (no clobbering
+    across batches) and a replayed namespace is a no-op."""
+    from pyspark.sql import functions as F
+
+    t = SnapshotTable(str(tmp_path_factory.mktemp("ns")))
+    df1 = spark.createDataFrame([("a", 1)], "cell string, n int")
+    df2 = spark.createDataFrame([("a", 2), ("b", 5)], "cell string, n int")
+    write_snapshotted(df1, t, key_col="cell", n_buckets=4, group_size=4, namespace="batch-0")
+    write_snapshotted(df2, t, key_col="cell", n_buckets=4, group_size=4, namespace="batch-1")
+    per_cell = (
+        t.read(spark).groupBy("cell").agg(F.sum("n").alias("n"))
+        .toPandas().set_index("cell")["n"]
+    )
+    assert per_cell["a"] == 3 and per_cell["b"] == 5
+    snap_before = t.current()["snapshot_id"]
+    # replay of batch-1 (streaming checkpoint re-delivery): committed
+    # buckets for that namespace are skipped -> nothing changes
+    write_snapshotted(df2, t, key_col="cell", n_buckets=4, group_size=4, namespace="batch-1")
+    assert t.current()["snapshot_id"] == snap_before
+    assert t.read(spark).agg(F.sum("n")).collect()[0][0] == 8

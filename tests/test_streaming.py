@@ -157,3 +157,44 @@ def test_ewma_cell_density_stateful(spark, tmp_path_factory):
     for r in second.itertuples():
         if r.cell in first.index:
             assert r.ewma == pytest.approx(1.5 * first[r.cell], rel=1e-9)
+
+
+def test_stream_multi_batch_deltas_accumulate(spark, tmp_path_factory):
+    """Regression (ADVICE r1, high): with maxFilesPerTrigger=1 each drop
+    is its own micro-batch; every batch's density delta must land (the
+    old layout treated batch 0's committed buckets as done and dropped
+    all later batches)."""
+    in_dir = str(tmp_path_factory.mktemp("mb_in"))
+    ckpt = str(tmp_path_factory.mktemp("mb_ckpt"))
+    table = SnapshotTable(str(tmp_path_factory.mktemp("mb_snap")))
+
+    images = datagen.images_to_spark(spark, 200, with_bytes=False)
+    images.filter(F.col("image_id") < "img000000000100").coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    images.filter(F.col("image_id") >= "img000000000100").coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+
+    gaz = datagen.gazetteer_to_spark(spark)
+    q = streaming.stream_geocode_to_snapshots(
+        spark, in_dir, gaz, table, ckpt, res=9, available_now=True,
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(300)
+
+    # at least two distinct batch namespaces actually committed
+    namespaces = {k.split("/")[0] for k in table.committed_buckets() if "/" in k}
+    assert len(namespaces) >= 2, f"expected >=2 micro-batches, got {namespaces}"
+
+    got = (
+        streaming.read_density(spark, table)
+        .toPandas().sort_values("cell").reset_index(drop=True)
+    )
+    _, best = G.geocode_images(images, gaz)
+    want = (
+        T.cell_density(best, res=9)
+        .toPandas().sort_values("cell").reset_index(drop=True)
+    )
+    assert got["cell"].tolist() == want["cell"].tolist()
+    assert got["n_images"].tolist() == want["n_images"].tolist()
