@@ -499,12 +499,14 @@ def d05_minhash_lsh(spark, sf_dir):
 
 
 def d06_simhash_fingerprints(spark, sf_dir):
-    """SimHash 64-bit fingerprints (rows-only check)."""
+    """SimHash 64-bit fingerprints — value-checked against a DuckDB
+    oracle via the cross-engine md5-derived token hash (production runs
+    default to xxhash64; the simhash math is identical)."""
     from batch_geocode_spark.operators import dedup as D
 
     _views(spark, sf_dir)
     docs = spark.table("documents").repartition(spark.sparkContext.defaultParallelism)
-    return D.simhash_fingerprints(docs)
+    return D.simhash_fingerprints(docs, token_hash="md5_60")
 
 
 def e02_cosine_near_dup(spark, sf_dir):
@@ -593,11 +595,13 @@ def t02_quality_scores(spark, sf_dir):
 
 
 def t03_fingerprints(spark, sf_dir):
-    """Doc fingerprints (rows-only: rolling hash uses xxhash64)."""
+    """Doc fingerprints — value-checked against a DuckDB oracle via the
+    cross-engine md5-derived token hash (xxhash64 stays the production
+    default; the rolling-hash math is identical)."""
     from batch_geocode_spark.operators import text as T
 
     _views(spark, sf_dir)
-    return T.fingerprints(spark.table("documents"))
+    return T.fingerprints(spark.table("documents"), token_hash="md5_60")
 
 
 def t04_token_counts(spark, sf_dir):
@@ -853,6 +857,43 @@ ORACLES: dict[str, str] = {
         WHERE list_sum(list_transform(range(1, len(a.embedding) + 1),
               i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
             / (a.nrm * b.nrm) >= 0.45
+    """,
+    # simhash over md5-derived 60-bit token hashes: tokens (incl.
+    # duplicates) → per-bit sign accumulation over bits 0..59 (bits
+    # 60..63 of a 60-bit hash are always 0 → their accumulators are
+    # negative → fingerprint bits 0, so the 0..59 sweep is exact)
+    "d06_simhash_fingerprints": r"""
+        WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+                   FROM documents),
+        th AS (SELECT doc_id,
+                 CAST(CAST(('0x' || substr(md5(unnest(toks)), 1, 15)) AS UBIGINT) AS BIGINT) AS h
+               FROM t),
+        bits AS (
+          SELECT doc_id, b AS bit,
+                 SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+          FROM th CROSS JOIN (SELECT unnest(range(60)) AS b)
+          GROUP BY doc_id, b)
+        SELECT doc_id,
+          CAST(SUM(CASE WHEN acc > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT)
+            AS simhash
+        FROM bits GROUP BY doc_id
+    """,
+    # rolling hash h = (h*31 + hash60(tok) mod p) mod p; list_reduce
+    # with no seed starts at the first element, which equals Spark's
+    # fold from 0 because (0*31 + h1 mod p) = h1 mod p
+    "t03_fingerprints": r"""
+        WITH t AS (SELECT doc_id, text,
+                     string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        h AS (SELECT doc_id, text,
+                list_transform(toks, x ->
+                  CAST(CAST(('0x' || substr(md5(x), 1, 15)) AS UBIGINT)
+                       % 2147483647 AS BIGINT)) AS hs
+              FROM t)
+        SELECT doc_id,
+          md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS norm_hash,
+          CAST(list_reduce(hs, (acc, x) -> (acc * 31 + x) % 2147483647) AS BIGINT)
+            AS rolling_hash
+        FROM h
     """,
     "d02_text_quality": r"""
         SELECT doc_id,
