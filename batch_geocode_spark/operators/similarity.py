@@ -150,16 +150,31 @@ def ann_lsh_topk(
 
 
 def cosine_near_dup_pairs(
-    vecs: DataFrame, threshold: float = 0.95, use_lsh: bool = False, dim: int = 64
+    vecs: DataFrame,
+    threshold: float = 0.95,
+    use_lsh: bool | None = None,
+    dim: int = 64,
+    auto_lsh_min_rows: int = 500_000,
 ) -> DataFrame:
     """Embedding near-dup pairs (cosine ≥ threshold).
 
-    Exact path: block matmul — each partition multiplies its rows against
-    the full normalized corpus matrix (broadcastable by assumption, same
-    as the LSH tables) with BLAS in one Arrow pass, emitting only pairs
-    over the threshold. ~1000× the per-element zip_with path.
-    ``use_lsh`` is the 10^12-scale variant: bucket-blocked candidates +
-    exact verify, no global matrix."""
+    Strategy selection is SIZE-SAFE BY DEFAULT (``use_lsh=None``): if
+    the corpus reaches ``auto_lsh_min_rows`` the LSH-blocked path is
+    chosen automatically — the exact path materializes the corpus
+    matrix on the driver and must never be the blind default at 10^8+
+    vectors. The probe is ``limit(n).count()`` so it stops scanning at
+    the threshold instead of counting the full table. Pass
+    ``use_lsh=True/False`` to force a path.
+
+    Exact path: block matmul — each partition multiplies its rows
+    against the full normalized corpus matrix with BLAS in one Arrow
+    pass, emitting only pairs over the threshold; the matrix ships via
+    an executor BROADCAST VARIABLE (sent once per executor), not UDF
+    closure capture (once per task). ~1000× the per-element zip_with
+    path. ``use_lsh`` is the 10^12-scale variant: bucket-blocked
+    candidates + exact verify, no global matrix anywhere."""
+    if use_lsh is None:
+        use_lsh = vecs.limit(auto_lsh_min_rows).count() >= auto_lsh_min_rows
     if use_lsh:
         v = vecs.select("vec_id", _as_double(F.col("embedding")).alias("v")).withColumn(
             "n", _norm(F.col("v"))
@@ -192,19 +207,23 @@ def cosine_near_dup_pairs(
     ids = pdf["vec_id"].to_numpy(np.int64)
     mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
     mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    # broadcast variable, not closure capture: the matrix is shipped
+    # once per executor instead of once per task
+    bc = vecs.sparkSession.sparkContext.broadcast((ids, mat))
 
     def block(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c_ids, c_mat = bc.value
         for bdf in it:
             bids = bdf["vec_id"].to_numpy(np.int64)
             bmat = np.stack([np.asarray(v, dtype=np.float64) for v in bdf["embedding"]])
             bmat = bmat / np.linalg.norm(bmat, axis=1, keepdims=True)
-            sims = bmat @ mat.T  # (block, N) via BLAS
-            ii, jj = np.nonzero((sims >= threshold) & (bids[:, None] < ids[None, :]))
+            sims = bmat @ c_mat.T  # (block, N) via BLAS
+            ii, jj = np.nonzero((sims >= threshold) & (bids[:, None] < c_ids[None, :]))
             if len(ii):
                 yield pd.DataFrame(
                     {
                         "id_a": bids[ii],
-                        "id_b": ids[jj],
+                        "id_b": c_ids[jj],
                         "cos_sim": np.round(sims[ii, jj], 6),
                     }
                 )

@@ -188,3 +188,21 @@ def test_simhash_md5_60_token_hash(spark):
     assert fps.loc[0, "simhash"] != fps.loc[2, "simhash"]
     # 60-bit token hashes -> bits 60..63 accumulate negative -> always 0
     assert all(int(v) >= 0 and int(v) < (1 << 60) for v in fps["simhash"])
+
+
+def test_cosine_near_dup_auto_is_scale_safe(vectors):
+    """Default strategy selection: above the row threshold the plan must
+    be the LSH bucket join (no full-corpus driver collect / matrix in a
+    closure); below it the exact matmul path (no join at all)."""
+    auto_lsh = S.cosine_near_dup_pairs(
+        vectors, threshold=0.99, dim=16, auto_lsh_min_rows=10
+    )
+    assert "Join" in auto_lsh._jdf.queryExecution().optimizedPlan().toString()
+    auto_exact = S.cosine_near_dup_pairs(
+        vectors, threshold=0.99, dim=16, auto_lsh_min_rows=10**6
+    )
+    assert "Join" not in auto_exact._jdf.queryExecution().optimizedPlan().toString()
+    # the auto-LSH result stays faithful: subset of exact with recall>=0.9
+    ep = {(r.id_a, r.id_b) for r in auto_exact.toPandas().itertuples()}
+    lp = {(r.id_a, r.id_b) for r in auto_lsh.toPandas().itertuples()}
+    assert ep and lp <= ep and len(lp) >= 0.9 * len(ep)
