@@ -1066,6 +1066,37 @@ ORACLES["q12_pivot"] = """
 """
 
 
+def v01_vet_json_roundtrip(spark, sf_dir):
+    """F7/F11/P10 vetting JSON wire round-trip: wide table → split
+    meta/geo → to_json payload keyed '<idx>: <caption>' → from_json +
+    '^\\d+: ' key strip → merge back. The round trip is lossless, so
+    the oracle is the wide-output SQL itself — any drift in the JSON
+    emit/parse/strip path breaks the value hash. The merged caption is
+    taken from the STRIPPED KEY (meta's copy is dropped) so the prefix
+    strip is value-checked, not decorative."""
+    from batch_geocode_spark.operators import vetting as V
+
+    images = _images(spark, sf_dir)
+    gaz = _gaz(spark, sf_dir)
+    vetted, best = G.geocode_images(images, gaz)
+    wide = G.to_wide(images, vetted, best, prefixes=WIDE_PREFIXES)
+    meta, geo = V.split_meta_geo(wide)
+    payload = V.to_vet_payload(geo)
+    parsed = V.parse_vet_payload(payload, V.vet_value_schema(geo))
+    merged = V.merge_vetted(meta.drop("caption"), parsed)
+    exprs = []
+    for c in wide.columns:  # original column order
+        if c.endswith(("_lat", "_long", "_buffer")):
+            exprs.append(F.round(F.col(c), 6).alias(c))
+        else:
+            exprs.append(F.col(c))
+    return merged.select(*exprs)
+
+
+QUERIES["v01_vet_json_roundtrip"] = v01_vet_json_roundtrip
+ORACLES["v01_vet_json_roundtrip"] = _wide_oracle()
+
+
 def e04_ivf_topk(spark, sf_dir):
     """IVF ANN: k-means coarse quantizer + inverted-list probe + exact
     rescoring (rows-only: approximate by design; recall pytest-asserted)."""

@@ -18,8 +18,12 @@ Reimplements the reference's vetting data flow as DataFrame ops:
 
 from __future__ import annotations
 
+import json
+
 from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from batch_geocode_spark.operators.geocode import SUFFIXES
 
@@ -44,6 +48,75 @@ def merge_vetted(meta: DataFrame, geo_postvet: DataFrame, key_col: str = "image_
     """meta ⋈ post-vet geo (left join on the stable key)."""
     dup = [c for c in geo_postvet.columns if c in meta.columns and c != key_col]
     return meta.join(geo_postvet.drop(*dup), key_col, "left")
+
+
+# --------------------------------------------------------------- JSON wire
+# The reference ships vetting data to the browser as
+# to_json(orient='index') keyed by '<row index>: <address>' (reference:
+# geocode/vet_geocode.py:75-85) and loads the edited JSON back, stripping
+# the '^\d+: ' key prefix (reference: geocode/vet_geocode.py:87-93,
+# geocode/utilities.py:48-66, strip at utilities.py:62). The engine
+# analog keeps the same wire format: per-row (vet_key, payload) pairs
+# built with F.to_json (SURVEY F7/F11), parsed back with F.from_json +
+# F.regexp_replace (SURVEY P10) — all Column expressions, no UDF.
+
+
+def vet_value_schema(geo: DataFrame, caption_col: str = "caption") -> T.StructType:
+    """Schema of the JSON payload: every geo column except the caption
+    (the caption rides in the key, reference-style)."""
+    return T.StructType([f for f in geo.schema.fields if f.name != caption_col])
+
+
+def to_vet_payload(
+    geo: DataFrame, key_col: str = "image_id", caption_col: str = "caption"
+) -> DataFrame:
+    """(vet_key, payload): the reference's orient='index' rows as a
+    DataFrame — vet_key = '<idx>: <caption>' with idx a deterministic
+    0-based rank over ``key_col`` (the reference synthesizes
+    ``__index = range(n)``; a rank over the stable key reproduces that
+    deterministically under any partitioning). payload = to_json of all
+    other geo columns. The global window is fine here by design:
+    vetting batches are human-reviewed and therefore small."""
+    idx = F.row_number().over(W.orderBy(key_col)) - 1
+    value_cols = [c for c in geo.columns if c != caption_col]
+    return geo.select(
+        F.concat(idx.cast("string"), F.lit(": "), F.col(caption_col)).alias("vet_key"),
+        F.to_json(F.struct(*value_cols)).alias("payload"),
+    )
+
+
+def parse_vet_payload(
+    payload_df: DataFrame, value_schema: T.StructType, caption_col: str = "caption"
+) -> DataFrame:
+    """Inverse of to_vet_payload: strip the '^\\d+: ' key prefix back to
+    the caption (reference utilities.py:62) and explode the JSON payload
+    through from_json into typed columns."""
+    return payload_df.select(
+        F.regexp_replace(F.col("vet_key"), r"^\d+: ", "").alias(caption_col),
+        F.from_json(F.col("payload"), value_schema).alias("v"),
+    ).select(caption_col, "v.*")
+
+
+def vet_json_document(geo: DataFrame, key_col: str = "image_id") -> str:
+    """Driver-side assembly of the exact reference wire format — ONE
+    JSON object {vet_key: {col: value}} (pandas to_json(orient='index'))
+    for the browser exchange. Driver-side by design: this string goes to
+    a human's screen, so the input is small."""
+    rows = to_vet_payload(geo, key_col=key_col).collect()
+    return json.dumps(
+        {r["vet_key"]: json.loads(r["payload"]) for r in rows}, ensure_ascii=False
+    )
+
+
+def load_vet_json_document(
+    spark, doc: str, value_schema: T.StructType, caption_col: str = "caption"
+) -> DataFrame:
+    """Load an edited vet JSON document back into a typed DataFrame
+    (reference load_vetted_data_json / json_to_dataframe)."""
+    obj = json.loads(doc)
+    pairs = [(k, json.dumps(v, ensure_ascii=False)) for k, v in obj.items()]
+    payload_df = spark.createDataFrame(pairs, "vet_key string, payload string")
+    return parse_vet_payload(payload_df, value_schema, caption_col=caption_col)
 
 
 def apply_vet_overlay(

@@ -129,3 +129,45 @@ def test_cli_end_to_end(spark, tmp_path_factory):
     assert set(report["match_rate_by_source"]) <= {"GM", "OSM"}
     t = SnapshotTable(out_p)
     assert t.read(spark).count() == report["rows"]
+
+
+def test_vet_json_document_roundtrip(spark, wide):
+    """Reference wire-format parity (vet_geocode.py:75-93,
+    utilities.py:48-66): the single JSON document is keyed
+    '<idx>: <caption>' with idx a 0-based dense range; loading it back
+    through from_json + '^\\d+: ' strip and merging reproduces the wide
+    table byte-for-byte (incl. the caption, which survives only via the
+    key strip)."""
+    meta, geo = V.split_meta_geo(wide)
+    doc = V.vet_json_document(geo)
+    obj = json.loads(doc)
+    n = geo.count()
+    assert len(obj) == n
+    # key format: '<idx>: <caption>', idx == range(n) ordered by image_id
+    idxs = sorted(int(k.split(": ", 1)[0]) for k in obj)
+    assert idxs == list(range(n))
+    assert all(": " in k for k in obj)
+    # a human edits one row in the browser, then the doc comes back
+    some_key = next(k for k, v in obj.items() if v.get("best_name"))
+    obj[some_key]["best_name"] = "Hand-picked"
+    edited = json.dumps(obj, ensure_ascii=False)
+
+    parsed = V.load_vet_json_document(spark, edited, V.vet_value_schema(geo))
+    merged = V.merge_vetted(meta.drop("caption"), parsed)
+    got = merged.select(*wide.columns).orderBy("image_id").toPandas()
+    want = wide.orderBy("image_id").toPandas()
+    edited_caption = some_key.split(": ", 1)[1]
+    mask = want["caption"] == edited_caption
+    # captions byte-equal everywhere (prefix strip exact)
+    assert got["caption"].tolist() == want["caption"].tolist()
+    # the human edit landed exactly on its row(s)
+    edited_ids = want.loc[mask & (want["best_name"].notna()), "image_id"]
+    got_idx = got.set_index("image_id")
+    assert (got_idx.loc[edited_ids, "best_name"] == "Hand-picked").any()
+    # everything else untouched
+    untouched = ~got["image_id"].isin(edited_ids)
+    for col in wide.columns:
+        if col == "best_name":
+            continue
+        a, b = got.loc[untouched, col], want.loc[untouched, col]
+        assert a.equals(b), col
