@@ -102,6 +102,29 @@ def decode_dctq(buf: bytes) -> np.ndarray:
     return out
 
 
+# ------------------------------------------------------------------- PGM16
+def encode_pgm16(grid: np.ndarray) -> bytes:
+    """Lossless 16-bit big-endian binary PGM (P5, maxval 65535) — a real
+    viewable image format for density rasters; values above 65535 clip
+    (per-tile counts at res-9 cells rarely exceed it; pick a finer res
+    or pre-scale when they do)."""
+    h, w = grid.shape
+    clipped = np.clip(grid, 0, 65535).astype(">u2")
+    return b"P5\n%d %d\n65535\n" % (w, h) + np.ascontiguousarray(clipped).tobytes()
+
+
+def decode_pgm16(buf: bytes) -> np.ndarray:
+    if not buf.startswith(b"P5"):
+        raise ValueError("not a P5 PGM")
+    parts = buf.split(b"\n", 3)
+    w, h = (int(v) for v in parts[1].split())
+    if int(parts[2]) != 65535:
+        raise ValueError("expected 16-bit PGM")
+    return (
+        np.frombuffer(parts[3], dtype=">u2", count=h * w).reshape(h, w).astype(np.int64)
+    )
+
+
 # ----------------------------------------------------------------- dispatch
 def encode_image(img: np.ndarray, fmt: str) -> bytes:
     if fmt == "ppm":

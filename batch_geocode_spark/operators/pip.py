@@ -70,23 +70,32 @@ def polygon_cell_cover(
     return bbox_only.mapInPandas(cover, schema="admin_id long, cell long")
 
 
+_EDGE_POINT_BUDGET = 4_000_000  # max edges×points elements materialized at once
+
+
 def _points_in_edge_arrays(
     px: np.ndarray, py: np.ndarray, rings: list[tuple[np.ndarray, np.ndarray]]
 ) -> np.ndarray:
-    """Even-odd ray casting, fully vectorized over edges × points.
+    """Even-odd ray casting, vectorized over edges × points.
 
-    Memory is O(edges × points) per ring; for polygons with very many
-    vertices chunk the point axis (admin boundaries are typically
-    O(10²-10³) edges, fine at Arrow batch sizes)."""
+    The edges×points intermediate is bounded by chunking the POINT axis
+    to ``_EDGE_POINT_BUDGET`` elements, so a real coastline (10⁴-10⁶
+    vertices) cannot blow a task's memory: peak stays ~budget×3 float64
+    regardless of ring size."""
     inside = np.zeros(len(px), dtype=bool)
     for xs, ys in rings:
+        n_edges = max(len(xs) - 1, 1)
+        chunk = max(_EDGE_POINT_BUDGET // n_edges, 1)
         x1, y1 = xs[:-1, None], ys[:-1, None]
         x2, y2 = xs[1:, None], ys[1:, None]
-        cond = (y1 > py[None, :]) != (y2 > py[None, :])
-        with np.errstate(divide="ignore", invalid="ignore"):
-            xint = (x2 - x1) * (py[None, :] - y1) / (y2 - y1) + x1
-        crossings = (cond & (px[None, :] < xint)).sum(axis=0)
-        inside ^= (crossings % 2).astype(bool)
+        for s in range(0, len(px), chunk):
+            cpx = px[None, s : s + chunk]
+            cpy = py[None, s : s + chunk]
+            cond = (y1 > cpy) != (y2 > cpy)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                xint = (x2 - x1) * (cpy - y1) / (y2 - y1) + x1
+            crossings = (cond & (cpx < xint)).sum(axis=0)
+            inside[s : s + chunk] ^= (crossings % 2).astype(bool)
     return inside
 
 
@@ -130,7 +139,9 @@ def pip_join(
         "inner",
     )
 
-    # geometry → numpy edge arrays once, on the driver
+    # geometry → numpy edge arrays once, on the driver; shipped as an
+    # executor broadcast variable (sent once per executor), not UDF
+    # closure capture (once per task)
     rings_by_admin: dict[int, list[tuple[np.ndarray, np.ndarray]]] = {}
     for row in polygons.select("admin_id", "rings").collect():
         rings_by_admin[int(row["admin_id"])] = [
@@ -140,6 +151,7 @@ def pip_join(
             )
             for ring in row["rings"]
         ]
+    bc_rings = points.sparkSession.sparkContext.broadcast(rings_by_admin)
 
     out_schema = (
         "pt_id string, pt_lat double, pt_lng double, admin_id long, "
@@ -147,6 +159,7 @@ def pip_join(
     )
 
     def exact(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rings = bc_rings.value
         for pdf in it:
             if pdf.empty:
                 continue
@@ -156,7 +169,7 @@ def pip_join(
                 mask = _points_in_edge_arrays(
                     grp["pt_lng"].to_numpy(np.float64),
                     grp["pt_lat"].to_numpy(np.float64),
-                    rings_by_admin[int(admin_id)],
+                    rings[int(admin_id)],
                 )
                 keep[grp.index.to_numpy()] = mask
             res_pdf = pdf.loc[

@@ -12,12 +12,16 @@ from pyspark.sql import functions as F
 
 
 def match_rate_by_source(images: DataFrame, vetted: DataFrame) -> DataFrame:
-    """Per source: images with ≥1 surviving candidate / total images."""
-    total = images.count()
+    """Per source: images with ≥1 surviving candidate / total images.
+
+    The denominator is a 1-row aggregate broadcast-cross-joined into the
+    per-source counts — ONE job, not a separate ``.count()`` action
+    (which at 100 TB is a full extra scan per invocation)."""
+    total = images.agg(F.count(F.lit(1)).alias("n_images"))
     return (
         vetted.groupBy("source")
         .agg(F.countDistinct("image_id").alias("n_matched"))
-        .withColumn("n_images", F.lit(total))
+        .crossJoin(F.broadcast(total))
         .withColumn("match_rate", F.round(F.col("n_matched") / F.col("n_images"), 6))
         .orderBy("source")
     )

@@ -109,3 +109,35 @@ def assemble_raster_tiles(
 
     schema = "tile long, tile_px int, n_cells int, n_images long, raster array<long>"
     return with_tile.groupBy("tile").applyInPandas(render, schema=schema)
+
+
+def raster_tiles_as_blobs(tiles: DataFrame) -> DataFrame:
+    """Encode each assembled raster tile as a 16-bit PGM image blob —
+    the raster side of the raster↔vector loop as an actual image format
+    (binary column + fmt tag), shuffle-free Arrow-batched map over the
+    ``assemble_raster_tiles`` output. Lossless for counts ≤ 65535, so
+    decode(blob) reproduces the count grid exactly (pytest-checked)."""
+    from typing import Iterator
+
+    from batch_geocode_spark.codecs import encode_pgm16
+
+    def enc(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            blobs = []
+            for r in pdf.itertuples():
+                px = int(r.tile_px)
+                grid = np.asarray(r.raster, dtype=np.int64).reshape(px, px)
+                blobs.append(encode_pgm16(grid))
+            yield pd.DataFrame(
+                {
+                    "tile": pdf["tile"],
+                    "tile_px": pdf["tile_px"],
+                    "n_images": pdf["n_images"],
+                    "fmt": "pgm16",
+                    "blob": blobs,
+                }
+            )
+
+    return tiles.mapInPandas(
+        enc, schema="tile long, tile_px int, n_images long, fmt string, blob binary"
+    )

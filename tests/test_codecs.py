@@ -41,3 +41,15 @@ def test_resize_nearest():
     img = _img(32, 32)
     out = codecs.resize_nearest(img, 8, 16)
     assert out.shape == (8, 16, 3)
+
+
+def test_pgm16_roundtrip_lossless():
+    from batch_geocode_spark.codecs import decode_pgm16, encode_pgm16
+
+    rng = np.random.default_rng(3)
+    grid = rng.integers(0, 60000, size=(16, 16)).astype(np.int64)
+    assert (decode_pgm16(encode_pgm16(grid)) == grid).all()
+    # clipping above maxval
+    hot = grid.copy()
+    hot[0, 0] = 10**9
+    assert decode_pgm16(encode_pgm16(hot))[0, 0] == 65535

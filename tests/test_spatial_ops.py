@@ -137,3 +137,86 @@ def test_match_rate_by_source(geo):
     mr = rollups.match_rate_by_source(images, vetted).toPandas()
     assert set(mr["source"]) <= {"GM", "OSM", "GN", "FG"}
     assert ((mr["match_rate"] > 0) & (mr["match_rate"] <= 1)).all()
+
+
+def test_raster_tiles_as_blobs_decode_exact(spark):
+    """raster↔vector loop: the PGM16 blob decodes back to the exact
+    per-tile count grid produced by assemble_raster_tiles."""
+    import numpy as np
+
+    from batch_geocode_spark import datagen
+    from batch_geocode_spark.codecs import decode_pgm16
+    from batch_geocode_spark.operators import geocode as G
+    from batch_geocode_spark.operators import tiles as T
+
+    images = datagen.images_to_spark(spark, 300, with_bytes=False)
+    gaz = datagen.gazetteer_to_spark(spark)
+    _, best = G.geocode_images(images, gaz)
+    density = T.cell_density(best, res=9)
+    tiles = T.assemble_raster_tiles(density, res=9, tile_res=6)
+    blobs = T.raster_tiles_as_blobs(tiles).toPandas().set_index("tile")
+    want = tiles.toPandas().set_index("tile")
+    assert len(blobs) == len(want) > 0
+    for tile, r in want.iterrows():
+        px = int(r["tile_px"])
+        grid = np.asarray(r["raster"], dtype=np.int64).reshape(px, px)
+        dec = decode_pgm16(bytes(blobs.loc[tile, "blob"]))
+        assert (dec == grid).all()
+        assert blobs.loc[tile, "fmt"] == "pgm16"
+        assert int(blobs.loc[tile, "n_images"]) == int(grid.sum())
+
+
+def test_pip_high_vertex_polygon_chunked(spark):
+    """A 10^4-vertex ring exercises the chunked ray-cast fallback; the
+    regular N-gon is near-circular, so radius comparison with an
+    apothem margin is an analytic oracle."""
+    import math
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from batch_geocode_spark.operators import pip as PIP
+
+    n_vert, R = 10_000, 10.0
+    cx, cy = 20.0, 10.0
+    ang = np.linspace(0, 2 * math.pi, n_vert + 1)
+    ring = [
+        {"x": float(cx + R * math.cos(a)), "y": float(cy + R * math.sin(a))}
+        for a in ang
+    ]
+    polys = spark.createDataFrame(
+        [(1, "cx", 0, "bigpoly", cx - R, cy - R, cx + R, cy + R, [ring])],
+        "admin_id long, iso2 string, admin_level int, name string, "
+        "bb_w double, bb_s double, bb_e double, bb_n double, "
+        "rings array<array<struct<x:double,y:double>>>",
+    )
+    rng = np.random.default_rng(5)
+    apothem = R * math.cos(math.pi / n_vert)
+    pts = []
+    want_in = set()
+    for i in range(500):
+        r = rng.uniform(0, 1.5 * R)
+        a = rng.uniform(0, 2 * math.pi)
+        x, y = cx + r * math.cos(a), cy + r * math.sin(a)
+        if abs(r - R) < 1e-3:  # skip the boundary sliver
+            continue
+        pts.append((f"p{i}", float(y), float(x)))
+        if r < apothem:
+            want_in.add(f"p{i}")
+        elif r < R:
+            continue  # between apothem and circumradius: either is fine
+    points = spark.createDataFrame(pts, "image_id string, best_lat double, best_long double")
+    got = {
+        r["pt_id"]
+        for r in PIP.pip_join(points, polys, res=3).select("pt_id").collect()
+    }
+    # every analytic-inside point found; no analytic-outside point kept
+    outside = {p for (p, y, x) in pts} - want_in - {
+        f"p{i}" for i in range(500)
+    }.union(set())
+    assert want_in <= got
+    definite_out = {
+        p for (p, y, x) in pts
+        if (x - cx) ** 2 + (y - cy) ** 2 > (R * 1.0001) ** 2
+    }
+    assert not (got & definite_out)
