@@ -128,10 +128,17 @@ def minhash_signatures(
     """(doc_id, perm, sig): MinHash signature rows — explode shingle base
     hashes through affine permutations, keyed min-aggregate (map-side
     combine keeps shuffle volume at num_perm rows/doc)."""
+    return _minhash_signatures_from_shingles(
+        word_shingles(docs, n=n), num_perm=num_perm, seed=seed
+    )
+
+
+def _minhash_signatures_from_shingles(
+    sh: DataFrame, num_perm: int = 64, seed: int = 42
+) -> DataFrame:
     a, b = _perm_params(num_perm, seed)
     a_arr = np.asarray(a, dtype=np.int64)
     b_arr = np.asarray(b, dtype=np.int64)
-    sh = word_shingles(docs, n=n)
     base = sh.select("doc_id", F.pmod(F.xxhash64("shingle"), F.lit(MERSENNE_P31)).alias("x"))
     grouped = base.groupBy("doc_id").agg(F.collect_list("x").alias("xs"))
 
@@ -168,12 +175,23 @@ def minhash_lsh_pairs(
     bands: int = 16,
     threshold: float = 0.5,
     seed: int = 42,
+    cache_shingles: bool = True,
 ) -> DataFrame:
     """Candidate pairs from banded MinHash signatures, then EXACT Jaccard
     verification — the approximate step only generates candidates, never
-    final answers."""
+    final answers.
+
+    The (doc, shingle) table feeds BOTH the signature branch and the
+    verify branch of the same DAG; ``cache_shingles`` persists it
+    (memory+disk, spill-safe) so the shingle explode+distinct runs once
+    instead of twice per action."""
     rows_per_band = num_perm // bands
-    sigs = minhash_signatures(docs, n=n, num_perm=num_perm, seed=seed)
+    sh = word_shingles(docs, n=n)
+    if cache_shingles:
+        from pyspark import StorageLevel
+
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    sigs = _minhash_signatures_from_shingles(sh, num_perm=num_perm, seed=seed)
     banded = (
         sigs.withColumn("band", (F.col("perm") / rows_per_band).cast("int"))
         .groupBy("doc_id", "band")
@@ -190,8 +208,7 @@ def minhash_lsh_pairs(
     # exact verify per candidate pair via array_intersect on the two
     # docs' shingle sets — O(candidates), not an inverted-index self-join
     # over the whole corpus (that shape is for all-pairs queries, see
-    # ngram_jaccard_pairs)
-    sh = word_shingles(docs, n=n)
+    # ngram_jaccard_pairs); reuses the (possibly cached) shingle table
     sets = sh.groupBy("doc_id").agg(F.collect_set("shingle").alias("shingles"))
     sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))

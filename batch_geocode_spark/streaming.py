@@ -80,6 +80,77 @@ def stream_geocode_to_snapshots(
     return writer.start()
 
 
+def stream_pip_matches(
+    spark: SparkSession,
+    input_dir: str,
+    gazetteer: DataFrame,
+    polygons: DataFrame,
+    res: int = 4,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """CONTINUOUS stream-static point-in-polygon: streaming images →
+    candidate geocodes (stream-static broadcast join, no aggregation) →
+    cell-cover broadcast join → exact ray-cast mapInPandas. Every stage
+    is append-mode stream-native (stateless maps + stream-static inner
+    joins), so this needs no watermark, no foreachBatch, and emits
+    matches per candidate row as they arrive. Returns the streaming
+    DataFrame — attach any sink.
+
+    Per-candidate (not per-image composite-best): the composite is a
+    per-image aggregate and therefore a STATEFUL op on a stream; the
+    aggregate variant runs via foreachBatch (stream_geocode_to_snapshots
+    shape) instead."""
+    from batch_geocode_spark.operators import pip as PIP
+
+    reader = spark.readStream.schema(IMAGES_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_dir)
+    vetted = G.vet_candidates(G.build_candidates(stream, gazetteer))
+    return PIP.pip_join(
+        vetted, polygons, res=res, id_col="image_id",
+        lat_col="cand_lat", lng_col="cand_lng",
+    )
+
+
+def stream_knn_to_parquet(
+    spark: SparkSession,
+    input_dir: str,
+    gazetteer: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    k: int = 3,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Stream-static kNN: per-image candidate ranking needs a window
+    over image_id — a stateful shape — so each micro-batch runs the
+    batch operator via foreachBatch and appends its results (an image's
+    candidates arrive together in one file drop, so per-batch windows
+    are exact)."""
+    from batch_geocode_spark.operators import knn as KNN
+
+    reader = spark.readStream.schema(IMAGES_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_dir)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        vetted = G.vet_candidates(G.build_candidates(batch_df, gazetteer))
+        KNN.knn_within_image(vetted, k=k).write.mode("append").parquet(out_dir)
+
+    writer = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def read_density(spark: SparkSession, table: SnapshotTable) -> DataFrame:
     """Aggregate streamed density deltas to current per-cell totals."""
     return table.read(spark).groupBy("cell").agg(F.sum("n_images").alias("n_images"))

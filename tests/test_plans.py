@@ -89,3 +89,33 @@ def test_whole_stage_codegen_on_hot_path(spark, sf_dir):
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("codegen")
     )
     assert "WholeStageCodegen" in codegen
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path_factory):
+    """SURVEY §4 bucketing: two tables bucketBy(8, image_id) co-locate
+    the join — the SortMergeJoin runs with NO Exchange on either side,
+    while the same join over plain parquet shuffles both. This is the
+    Iceberg-bucket-partitioning story in local form."""
+    images = datagen.images_to_spark(spark, 400, with_bytes=False).select(
+        "image_id", "caption"
+    )
+    scores = images.select("image_id", F.length("caption").alias("score"))
+    spark.sql("DROP TABLE IF EXISTS b_images")
+    spark.sql("DROP TABLE IF EXISTS b_scores")
+    images.write.bucketBy(8, "image_id").sortBy("image_id").saveAsTable("b_images")
+    scores.write.bucketBy(8, "image_id").sortBy("image_id").saveAsTable("b_scores")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("b_images").join(spark.table("b_scores"), "image_id")
+        plan = _plan(j)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, "bucketed join must not shuffle"
+        # contrast: un-bucketed inputs shuffle both sides
+        plain = images.join(scores.withColumnRenamed("score", "s2"), "image_id")
+        pplan = _plan(plain)
+        assert "Exchange" in pplan and "hashpartitioning" in pplan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS b_images")
+        spark.sql("DROP TABLE IF EXISTS b_scores")

@@ -198,3 +198,98 @@ def test_stream_multi_batch_deltas_accumulate(spark, tmp_path_factory):
     )
     assert got["cell"].tolist() == want["cell"].tolist()
     assert got["n_images"].tolist() == want["n_images"].tolist()
+
+
+def _admin_polys_local(spark):
+    """A handful of rectangles covering the datagen coordinate range."""
+    rows = []
+    for i in range(6):
+        w = -180.0 + i * 60.0
+        rows.append((i, f"c{i}", 0, f"rect{i}", w, -90.0, w + 60.0, 90.0))
+    rect = spark.createDataFrame(
+        rows,
+        "admin_id long, iso2 string, admin_level int, name string, "
+        "bb_w double, bb_s double, bb_e double, bb_n double",
+    )
+    ring = F.array(
+        F.struct(F.col("bb_w").alias("x"), F.col("bb_s").alias("y")),
+        F.struct(F.col("bb_e").alias("x"), F.col("bb_s").alias("y")),
+        F.struct(F.col("bb_e").alias("x"), F.col("bb_n").alias("y")),
+        F.struct(F.col("bb_w").alias("x"), F.col("bb_n").alias("y")),
+        F.struct(F.col("bb_w").alias("x"), F.col("bb_s").alias("y")),
+    )
+    return rect.withColumn("rings", F.array(ring))
+
+
+def test_stream_pip_matches_batch_equivalence(spark, tmp_path_factory):
+    """Continuous stream-static PIP (no foreachBatch): streaming result
+    set equals the batch pip_join over the same drops."""
+    from batch_geocode_spark.operators import pip as PIP
+
+    in_dir = str(tmp_path_factory.mktemp("pip_in"))
+    ckpt = str(tmp_path_factory.mktemp("pip_ckpt"))
+    images = datagen.images_to_spark(spark, 150, with_bytes=False)
+    images.coalesce(1).write.mode("append").parquet(in_dir)
+    images.coalesce(1).write.mode("append").parquet(in_dir)
+
+    gaz = datagen.gazetteer_to_spark(spark)
+    polys = _admin_polys_local(spark)
+    out = streaming.stream_pip_matches(
+        spark, in_dir, gaz, polys, res=3, max_files_per_trigger=1
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("pip_stream")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.table("pip_stream").groupBy("pt_id", "admin_id").count().toPandas()
+
+    vetted = G.vet_candidates(G.build_candidates(images, gaz))
+    want_df = PIP.pip_join(
+        vetted, polys, res=3, id_col="image_id",
+        lat_col="cand_lat", lng_col="cand_lng",
+    )
+    # batch over BOTH drops = 2x the single-copy matches
+    want = want_df.groupBy("pt_id", "admin_id").count().toPandas()
+    g = got.set_index(["pt_id", "admin_id"])["count"].sort_index()
+    w = (want.set_index(["pt_id", "admin_id"])["count"] * 2).sort_index()
+    assert len(g) > 0
+    assert g.equals(w)
+
+
+def test_stream_knn_matches_batch(spark, tmp_path_factory):
+    from batch_geocode_spark.operators import knn as KNN
+
+    in_dir = str(tmp_path_factory.mktemp("knn_in"))
+    ckpt = str(tmp_path_factory.mktemp("knn_ckpt"))
+    out_dir = str(tmp_path_factory.mktemp("knn_out")) + "/results"
+    images = datagen.images_to_spark(spark, 150, with_bytes=False)
+    half_a = images.filter(F.col("image_id") < "img000000000075")
+    half_b = images.filter(F.col("image_id") >= "img000000000075")
+    half_a.coalesce(1).write.mode("append").parquet(in_dir)
+    half_b.coalesce(1).write.mode("append").parquet(in_dir)
+
+    gaz = datagen.gazetteer_to_spark(spark)
+    q = streaming.stream_knn_to_parquet(
+        spark, in_dir, gaz, out_dir, ckpt, k=3, max_files_per_trigger=1
+    )
+    q.awaitTermination(300)
+    got = (
+        spark.read.parquet(out_dir)
+        .orderBy("image_id", "knn_rank")
+        .toPandas().reset_index(drop=True)
+    )
+    vetted = G.vet_candidates(G.build_candidates(images, gaz))
+    want = (
+        KNN.knn_within_image(vetted, k=3)
+        .orderBy("image_id", "knn_rank")
+        .toPandas().reset_index(drop=True)
+    )
+    assert len(got) == len(want) > 0
+    assert got["image_id"].tolist() == want["image_id"].tolist()
+    assert got["knn_rank"].tolist() == want["knn_rank"].tolist()
+    assert got["dist_km"].tolist() == want["dist_km"].tolist()
