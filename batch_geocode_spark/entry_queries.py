@@ -1066,6 +1066,109 @@ ORACLES["q12_pivot"] = """
 """
 
 
+def d07_dedup_clusters(spark, sf_dir):
+    """Connected components over the near-dup pair graph → dedup
+    clusters (component id, size, keep-doc). Iterative min-label
+    propagation with per-round localCheckpoint lineage truncation;
+    oracle = a DuckDB recursive CTE computing the same transitive
+    closure over the same exact-Jaccard pairs."""
+    from batch_geocode_spark.operators import dedup as D
+
+    _views(spark, sf_dir)
+    docs = spark.table("documents").repartition(spark.sparkContext.defaultParallelism)
+    pairs = D.ngram_jaccard_pairs(docs, n=4, threshold=0.05, max_df=10**6)
+    return D.dedup_clusters(pairs).select("component", "n_docs", "keep_doc_id")
+
+
+def d08_stratified_sample(spark, sf_dir):
+    """Deterministic stratified hash sampling (content-addressed, layout
+    and engine independent via the md5-derived hash): keep 100% of 'fr',
+    50% of 'en', 10% of everything else."""
+    from batch_geocode_spark.operators import sampling as SA
+
+    _views(spark, sf_dir)
+    docs = spark.table("documents")
+    out = SA.stratified_hash_sample(
+        docs,
+        key_col="doc_id",
+        strata_col="lang",
+        fractions={"fr": 1.0, "en": 0.5},
+        default_fraction=0.1,
+        salt="r2",
+        token_hash="md5_60",
+    )
+    return out.select("doc_id", "lang", "source")
+
+
+def t05_bigram_stats(spark, sf_dir):
+    """Corpus-wide top-20 word bigrams (vocabulary statistics): explode →
+    count → top-k with unique tiebreak — the classic n-gram profile over
+    the documents table."""
+    _views(spark, sf_dir)
+    docs = spark.table("documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    idx = F.when(
+        F.size(toks) >= 2, F.sequence(F.lit(1), F.size(toks) - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    bigrams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i.cast("int")), F.element_at(toks, (i + 1).cast("int"))
+        ),
+    )
+    return (
+        docs.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(20)
+    )
+
+
+QUERIES["d07_dedup_clusters"] = d07_dedup_clusters
+QUERIES["d08_stratified_sample"] = d08_stratified_sample
+QUERIES["t05_bigram_stats"] = t05_bigram_stats
+
+ORACLES["d07_dedup_clusters"] = (
+    r"""
+    WITH RECURSIVE pairs AS ("""
+    + ORACLES["d04_ngram_jaccard"]
+    + r"""),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b AS a, doc_a AS b FROM pairs),
+    nodes AS (SELECT DISTINCT a AS node FROM edges),
+    reach(node, lbl) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node),
+    comp AS (SELECT node, MIN(lbl) AS component FROM reach GROUP BY node)
+    SELECT component, COUNT(*) AS n_docs, MIN(node) AS keep_doc_id
+    FROM comp GROUP BY component
+"""
+)
+
+ORACLES["d08_stratified_sample"] = r"""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE CAST(CAST(('0x' || substr(md5(concat('r2', CAST(doc_id AS STRING))), 1, 15))
+               AS UBIGINT) % 1000000 AS BIGINT)
+        < CASE lang WHEN 'fr' THEN 1000000 WHEN 'en' THEN 500000 ELSE 100000 END
+"""
+
+ORACLES["t05_bigram_stats"] = r"""
+    WITH t AS (SELECT string_split_regex(trim(text), '\s+') AS toks FROM documents),
+    b AS (SELECT unnest(list_transform(range(1, greatest(len(toks), 1)),
+            i -> concat(toks[i], ' ', toks[i+1]))) AS bigram
+          FROM t WHERE len(toks) >= 2)
+    SELECT bigram, COUNT(*) AS n
+    FROM b GROUP BY bigram
+    ORDER BY n DESC, bigram ASC
+    LIMIT 20
+"""
+
+
 def v01_vet_json_roundtrip(spark, sf_dir):
     """F7/F11/P10 vetting JSON wire round-trip: wide table → split
     meta/geo → to_json payload keyed '<idx>: <caption>' → from_json +

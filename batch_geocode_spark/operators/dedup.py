@@ -222,6 +222,77 @@ def minhash_lsh_pairs(
     )
 
 
+# -------------------------------------------------- connected components
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, component): connected components of the near-dup pair
+    graph by min-label propagation — the step that turns PAIRS into
+    DEDUP CLUSTERS (keep one doc per component).
+
+    Iterative Spark shape: each round is one join + one min-aggregate;
+    ``localCheckpoint`` truncates the lineage every round (without it
+    the plan doubles per iteration and the DAG scheduler, not the data,
+    becomes the bottleneck). Converges in O(component diameter) rounds —
+    near-dup clusters are shallow (dense blobs around a few docs), so
+    a handful of rounds suffice; raise ``max_iter`` for chain-shaped
+    graphs or switch to large-star/small-star (same building blocks)
+    if diameters ever get genuinely deep.
+    """
+    edges = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    edges = edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    edges = edges.localCheckpoint()
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        prop = (
+            edges.join(labels, edges["a"] == labels["node"])
+            .select(F.col("b").alias("node"), F.col("comp"))
+            .groupBy("node")
+            .agg(F.min("comp").alias("new_comp"))
+        )
+        new_labels = labels.join(prop, "node", "left").select(
+            "node",
+            F.least(F.col("comp"), F.coalesce(F.col("new_comp"), F.col("comp"))).alias(
+                "comp"
+            ),
+        ).localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", F.col("comp").alias("component"))
+
+
+def dedup_clusters(
+    pairs: DataFrame, id_a: str = "doc_a", id_b: str = "doc_b"
+) -> DataFrame:
+    """Per component: size + the doc to keep (min id) — the final dedup
+    decision table from any near-dup pair source (Jaccard, MinHash,
+    SimHash, cosine)."""
+    cc = connected_components(pairs, id_a=id_a, id_b=id_b)
+    return cc.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("node").alias("keep_doc_id"),
+        F.sort_array(F.collect_list("node")).alias("members"),
+    )
+
+
 # ------------------------------------------------------------------ SimHash
 def simhash_fingerprints(
     docs: DataFrame, text_col: str = "text", token_hash: str = "xxhash64"

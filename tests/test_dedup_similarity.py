@@ -206,3 +206,51 @@ def test_cosine_near_dup_auto_is_scale_safe(vectors):
     ep = {(r.id_a, r.id_b) for r in auto_exact.toPandas().itertuples()}
     lp = {(r.id_a, r.id_b) for r in auto_lsh.toPandas().itertuples()}
     assert ep and lp <= ep and len(lp) >= 0.9 * len(ep)
+
+
+def test_connected_components_label_propagation(spark):
+    """Chain + triangle + isolated pair: labels converge to the min id
+    of each component (chain exercises multi-round propagation)."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5),      # chain 1-2-3-4-5
+         (10, 11), (11, 12), (10, 12),        # triangle
+         (20, 21)],                           # pair
+        "doc_a long, doc_b long",
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in D.connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                   10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+    clusters = D.dedup_clusters(pairs).toPandas().set_index("component")
+    assert clusters.loc[1, "n_docs"] == 5 and clusters.loc[1, "keep_doc_id"] == 1
+    assert list(clusters.loc[10, "members"]) == [10, 11, 12]
+
+
+def test_hash_sample_deterministic_and_nested(spark):
+    from batch_geocode_spark.operators import sampling as SA
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    s10 = {r["doc_id"] for r in SA.hash_sample(df, "doc_id", 0.10, salt="s").collect()}
+    s10b = {r["doc_id"] for r in SA.hash_sample(
+        df.repartition(7), "doc_id", 0.10, salt="s").collect()}
+    assert s10 == s10b  # layout-independent
+    s50 = {r["doc_id"] for r in SA.hash_sample(df, "doc_id", 0.50, salt="s").collect()}
+    assert s10 <= s50  # same salt => nested
+    assert 0.05 < len(s10) / 2000 < 0.15 and 0.45 < len(s50) / 2000 < 0.55
+    other = {r["doc_id"] for r in SA.hash_sample(df, "doc_id", 0.10, salt="t").collect()}
+    assert other != s10  # different salt decorrelates
+
+
+def test_stratified_hash_sample_fractions(spark):
+    from batch_geocode_spark.operators import sampling as SA
+
+    rows = [(i, "en" if i % 2 == 0 else "fr") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = SA.stratified_hash_sample(
+        df, "doc_id", "lang", {"fr": 1.0, "en": 0.1}, default_fraction=0.0
+    ).toPandas()
+    frac = out.groupby("lang").size()
+    assert frac["fr"] == 1000                 # keep all rare-language rows
+    assert 40 < frac.get("en", 0) < 200       # ~10% of the rest
