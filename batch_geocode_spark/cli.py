@@ -64,7 +64,10 @@ def main(argv: list[str] | None = None) -> int:
         images, gaz, n_results=args.results_per_source, max_buffer=args.buffer
     )
     if args.layout == "wide":
-        out, key = G.to_wide(images.drop("bytes"), vetted, best), "image_id"
+        # deterministic source×rank prefix grid — never discovered by a
+        # distinct+collect over the (big) candidate table
+        prefixes = [f"{s}{r}" for s in sources for r in range(1, args.results_per_source + 1)]
+        out, key = G.to_wide(images.drop("bytes"), vetted, best, prefixes=prefixes), "image_id"
     elif args.layout == "best":
         out, key = best, "image_id"
     elif args.layout == "candidates":

@@ -24,6 +24,7 @@ from typing import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from batch_geocode_spark import codecs
 
@@ -138,6 +139,30 @@ def extract_features(images: DataFrame) -> DataFrame:
 
     return images.select("image_id", "bytes", "fmt").mapInPandas(
         run, schema="image_id string, features array<float>"
+    )
+
+
+def image_near_dup_pairs(
+    images: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "image_id",
+    phash_col: str = "phash",
+) -> DataFrame:
+    """IMAGE-level near-duplicate pairs via the perceptual-hash column:
+    the phash is already a 64-bit similarity-preserving fingerprint, so
+    the SimHash band machinery applies verbatim — 16-bit quarter-key
+    blocking + exact hamming verify, an equi-join, never all-pairs.
+    Requires integer ids (hash the id first for string ids)."""
+    from batch_geocode_spark.operators.dedup import simhash_band_pairs
+
+    fps = images.select(
+        F.col(id_col).alias("doc_id"), F.col(phash_col).alias("simhash")
+    )
+    out = simhash_band_pairs(fps, max_hamming=max_hamming)
+    return out.select(
+        F.col("doc_a").alias("image_a"),
+        F.col("doc_b").alias("image_b"),
+        "hamming",
     )
 
 

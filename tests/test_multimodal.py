@@ -74,3 +74,34 @@ def test_audio_video_stubs():
         MM.decode_audio(None)
     with pytest.raises(NotImplementedError):
         MM.sample_video_frames(None)
+
+
+def test_image_near_dup_pairs_via_phash(spark):
+    """Real pixel path: an image and a lightly-perturbed copy have
+    near-identical average-hashes; the band join must surface the pair
+    and exact hamming must verify it. An unrelated image must not pair."""
+    import numpy as np
+
+    from batch_geocode_spark import codecs
+    from batch_geocode_spark.operators import multimodal as M
+
+    rng = np.random.default_rng(9)
+    # smooth gradient image: tiny perturbations cannot flip many blocks
+    base = (
+        np.linspace(0, 255, 64 * 64 * 3).reshape(64, 64, 3).astype(np.uint8)
+    )
+    near = base.copy()
+    near[10:12, 10:12] = 255 - near[10:12, 10:12]  # small local edit
+    other = rng.integers(0, 256, size=(64, 64, 3)).astype(np.uint8)
+    rows = [
+        (1, codecs.average_hash(base)),
+        (2, codecs.average_hash(near)),
+        (3, codecs.average_hash(other)),
+    ]
+    ham12 = bin((rows[0][1] ^ rows[1][1]) & (2**64 - 1)).count("1")
+    assert ham12 <= 3, f"fixture must plant a near-dup (got hamming {ham12})"
+    df = spark.createDataFrame(rows, "image_id long, phash long")
+    got = M.image_near_dup_pairs(df, max_hamming=3).toPandas()
+    pairs = {(r.image_a, r.image_b) for r in got.itertuples()}
+    assert (1, 2) in pairs
+    assert not any(3 in p for p in pairs)
