@@ -1066,6 +1066,35 @@ ORACLES["q12_pivot"] = """
 """
 
 
+def q13_percentiles(spark, sf_dir):
+    """Exact percentiles (continuous interpolation) of order totals per
+    status — the distribution-statistics member of the A-family. Spark
+    ``percentile`` and DuckDB ``quantile_cont`` share the linear
+    interpolation definition, so values hash-match at 6 dp."""
+    _views(spark, sf_dir)
+    return (
+        spark.table("orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 6).alias("p90"),
+            F.round(F.expr("percentile(o_totalprice, 0.99)"), 6).alias("p99"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+QUERIES["q13_percentiles"] = q13_percentiles
+ORACLES["q13_percentiles"] = """
+    SELECT o_orderstatus,
+      ROUND(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+      ROUND(quantile_cont(o_totalprice, 0.9), 6) AS p90,
+      ROUND(quantile_cont(o_totalprice, 0.99), 6) AS p99,
+      COUNT(*) AS n
+    FROM orders GROUP BY o_orderstatus
+"""
+
+
 def d07_dedup_clusters(spark, sf_dir):
     """Connected components over the near-dup pair graph → dedup
     clusters (component id, size, keep-doc). Iterative min-label

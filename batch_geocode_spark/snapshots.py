@@ -94,7 +94,10 @@ class SnapshotTable:
             # row schema (JSON) so sparse/empty tables stay readable
             "schema": schema_json or (parent or {}).get("schema"),
         }
-        name = f"snapshot-{snap_id:06d}.json"
+        return self._write_manifest(snap)
+
+    def _write_manifest(self, snap: dict) -> dict:
+        name = f"snapshot-{snap['snapshot_id']:06d}.json"
         tmp = os.path.join(self.manifest_dir, f".{name}.tmp")
         with open(tmp, "w") as f:
             json.dump(snap, f, indent=1)
@@ -104,6 +107,81 @@ class SnapshotTable:
             f.write(name)
         os.replace(cur_tmp, os.path.join(self.manifest_dir, "CURRENT"))
         return snap
+
+    def commit_replace(
+        self,
+        new_buckets: dict[str, int],
+        job_id: str,
+        extra: dict | None = None,
+        schema_json: str | None = None,
+    ) -> dict:
+        """Commit a snapshot whose bucket set REPLACES the lineage view
+        (compaction): the new snapshot references only ``new_buckets``;
+        older data dirs stay on disk so time travel to pre-compaction
+        snapshots keeps working until ``vacuum``."""
+        parent = self.current()
+        snap_id = (parent["snapshot_id"] + 1) if parent else 0
+        buckets = {str(b): int(n) for b, n in new_buckets.items()}
+        snap = {
+            "snapshot_id": snap_id,
+            "parent_id": parent["snapshot_id"] if parent else None,
+            "job_id": job_id,
+            "committed_at": time.time(),
+            "buckets": buckets,
+            "total_rows": int(sum(buckets.values())),
+            "metrics": {**(extra or {}), "replace": True},
+            "schema": schema_json or (parent or {}).get("schema"),
+        }
+        return self._write_manifest(snap)
+
+    def vacuum(self, keep_snapshots: int = 1) -> dict:
+        """Expire all but the last ``keep_snapshots`` manifests and
+        delete data directories no kept snapshot references — the
+        expire_snapshots + remove_orphan_files maintenance pair. Returns
+        {'removed_dirs': [...], 'removed_manifests': [...]}."""
+        import shutil
+
+        hist = self.history()
+        if not hist:
+            return {"removed_dirs": [], "removed_manifests": []}
+        kept, expired = hist[-keep_snapshots:], hist[:-keep_snapshots]
+        referenced = {
+            os.path.relpath(self._bucket_path(str(k)), self.data_dir)
+            for snap in kept
+            for k in snap.get("buckets", {})
+        }
+        # every bucket dir on disk: bucket=N and ns=X/bucket=N
+        on_disk = []
+        for entry in sorted(os.listdir(self.data_dir)):
+            p = os.path.join(self.data_dir, entry)
+            if not os.path.isdir(p):
+                continue
+            if entry.startswith("bucket="):
+                on_disk.append(entry)
+            elif entry.startswith("ns="):
+                on_disk.extend(
+                    f"{entry}/{sub}"
+                    for sub in sorted(os.listdir(p))
+                    if sub.startswith("bucket=")
+                )
+        removed_dirs = []
+        for rel in on_disk:
+            if rel not in referenced:
+                shutil.rmtree(os.path.join(self.data_dir, rel))
+                removed_dirs.append(rel)
+        # prune now-empty ns= parents
+        for entry in sorted(os.listdir(self.data_dir)):
+            p = os.path.join(self.data_dir, entry)
+            if entry.startswith("ns=") and os.path.isdir(p) and not os.listdir(p):
+                os.rmdir(p)
+        removed_manifests = []
+        for snap in expired:
+            name = f"snapshot-{snap['snapshot_id']:06d}.json"
+            path = os.path.join(self.manifest_dir, name)
+            if os.path.exists(path):
+                os.remove(path)
+                removed_manifests.append(name)
+        return {"removed_dirs": removed_dirs, "removed_manifests": removed_manifests}
 
     def history(self) -> list[dict]:
         names = sorted(
@@ -160,6 +238,43 @@ class SnapshotTable:
         path = os.path.join(self.manifest_dir, f"snapshot-{snapshot_id:06d}.json")
         with open(path) as f:
             return json.load(f)
+
+
+def compact_table(
+    spark: SparkSession,
+    table: SnapshotTable,
+    key_col: str,
+    n_buckets: int = 32,
+    job_id: str | None = None,
+) -> dict:
+    """Small-file compaction (Iceberg rewrite_data_files analog):
+    streaming appends leave one file set per (batch, bucket); this job
+    reads every committed row, rewrites it under ONE fresh namespace,
+    and commits a REPLACING snapshot. Readers flip atomically to the
+    compacted layout; pre-compaction snapshots stay time-travelable
+    until ``table.vacuum()`` reclaims their directories."""
+    cur = table.current()
+    if cur is None:
+        raise ValueError(f"nothing to compact in {table.root}")
+    ns = f"compact-{cur['snapshot_id'] + 1}"
+    df = table.read(spark).drop("ns", "bucket")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    bucketed = df.withColumn("bucket", bucket_expr(key_col, n_buckets)).withColumn(
+        "ns", F.lit(ns)
+    )
+    bucketed.write.mode("overwrite").partitionBy("ns", "bucket").parquet(table.data_dir)
+    counts = {
+        f"{ns}/{int(r['bucket'])}": int(r["count"])
+        for r in bucketed.groupBy("bucket").count().collect()
+    }
+    for b in range(n_buckets):
+        counts.setdefault(f"{ns}/{b}", 0)
+    return table.commit_replace(
+        counts,
+        job_id or f"compact-{cur['snapshot_id'] + 1}",
+        extra={"compacted_from": cur["snapshot_id"]},
+        schema_json=bucketed.schema.json(),
+    )
 
 
 def write_snapshotted(

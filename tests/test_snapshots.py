@@ -109,3 +109,49 @@ def test_namespaced_appends_accumulate_and_replay_idempotent(spark, tmp_path_fac
     write_snapshotted(df2, t, key_col="cell", n_buckets=4, group_size=4, namespace="batch-1")
     assert t.current()["snapshot_id"] == snap_before
     assert t.read(spark).agg(F.sum("n")).collect()[0][0] == 8
+
+
+def test_compact_and_vacuum(spark, tmp_path_factory):
+    """Maintenance pair: compaction rewrites N append namespaces into
+    one (fewer files, same rows, atomic flip, pre-compaction time
+    travel intact), vacuum then expires old snapshots and removes the
+    orphaned directories."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from batch_geocode_spark.snapshots import compact_table
+
+    t = SnapshotTable(str(tmp_path_factory.mktemp("compact")))
+    for b in range(3):  # three streaming-style appends
+        df = spark.createDataFrame(
+            [(f"c{i}", b * 100 + i) for i in range(20)], "cell string, n int"
+        )
+        write_snapshotted(df, t, key_col="cell", n_buckets=8, group_size=8,
+                          namespace=f"batch-{b}")
+    before = t.read(spark).groupBy("cell").agg(F.sum("n").alias("n")).toPandas()
+    files_before = len(glob.glob(os.path.join(t.data_dir, "**", "*.parquet"),
+                                 recursive=True))
+    pre_compact_snap = t.current()["snapshot_id"]
+
+    compact_table(spark, t, key_col="cell", n_buckets=4)
+    after = t.read(spark).groupBy("cell").agg(F.sum("n").alias("n")).toPandas()
+    a = after.set_index("cell")["n"].sort_index()
+    b_ = before.set_index("cell")["n"].sort_index()
+    assert a.equals(b_)
+    files_after = len(glob.glob(os.path.join(t.data_dir, "ns=compact-*", "**",
+                                             "*.parquet"), recursive=True))
+    assert files_after < files_before
+    # pre-compaction snapshot still time-travels (dirs not yet reclaimed)
+    old = t.read(spark, snapshot_id=pre_compact_snap)
+    assert old.count() == 60
+
+    res = t.vacuum(keep_snapshots=1)
+    assert res["removed_dirs"], "orphaned batch dirs must be reclaimed"
+    assert res["removed_manifests"]
+    # current view unchanged after vacuum
+    post = t.read(spark).groupBy("cell").agg(F.sum("n").alias("n")).toPandas()
+    assert post.set_index("cell")["n"].sort_index().equals(b_)
+    # no stray batch namespaces remain on disk
+    assert not glob.glob(os.path.join(t.data_dir, "ns=batch-*"))
