@@ -74,15 +74,22 @@ def _unblockify(blocks: np.ndarray, h: int, w: int) -> np.ndarray:
 
 
 def encode_dctq(img: np.ndarray) -> bytes:
+    """All-channel fused path: one broadcast matmul pair over
+    (c, by, bx, 8, 8) instead of a per-channel einsum loop — ~5× fewer
+    temporaries and numpy dispatches (the decode twin dominates the
+    image-validation stage; per-worker memory traffic is what limits
+    high-core-count scaling)."""
     h, w, c = img.shape
-    coeffs = []
-    for ci in range(c):
-        ch = _pad_to_blocks(img[:, :, ci].astype(np.float32) - np.float32(128.0))
-        blocks = _blockify(ch)  # (by, bx, 8, 8)
-        dct = np.einsum("ij,byjk,lk->byil", _D, blocks, _D)
-        q = np.rint(dct / _Q).astype(np.int16)
-        coeffs.append(q)
-    payload = zlib.compress(np.stack(coeffs).tobytes(), level=6)
+    chans = np.stack(
+        [_pad_to_blocks(img[:, :, ci].astype(np.float32) - np.float32(128.0)) for ci in range(c)]
+    )
+    ph, pw = chans.shape[1:]
+    blocks = chans.reshape(c, ph // _DCT_N, _DCT_N, pw // _DCT_N, _DCT_N).transpose(
+        0, 1, 3, 2, 4
+    )
+    dct = _D @ blocks @ _D.T
+    q = np.rint(dct / _Q).astype(np.int16)
+    payload = zlib.compress(np.ascontiguousarray(q).tobytes(), level=6)
     return b"DCTQ" + struct.pack("<HHB", h, w, c) + payload
 
 
@@ -93,13 +100,13 @@ def decode_dctq(buf: bytes) -> np.ndarray:
     ph, pw = h + ((-h) % _DCT_N), w + ((-w) % _DCT_N)
     raw = np.frombuffer(zlib.decompress(buf[9:]), dtype=np.int16)
     coeffs = raw.reshape(c, ph // _DCT_N, pw // _DCT_N, _DCT_N, _DCT_N).astype(np.float32)
-    out = np.empty((h, w, c), dtype=np.uint8)
-    for ci in range(c):
-        dct = coeffs[ci] * _Q
-        blocks = np.einsum("ji,byjk,kl->byil", _D, dct, _D)
-        ch = _unblockify(blocks, ph, pw)[:h, :w] + 128.0
-        out[:, :, ci] = np.clip(np.rint(ch), 0, 255).astype(np.uint8)
-    return out
+    coeffs *= _Q  # in-place dequant, all channels at once
+    blocks = _D.T @ coeffs @ _D
+    chans = blocks.transpose(0, 1, 3, 2, 4).reshape(c, ph, pw)[:, :h, :w]
+    chans = chans + np.float32(128.0)
+    np.rint(chans, out=chans)
+    np.clip(chans, 0, 255, out=chans)
+    return np.ascontiguousarray(chans.astype(np.uint8).transpose(1, 2, 0))
 
 
 # ------------------------------------------------------------------- PGM16

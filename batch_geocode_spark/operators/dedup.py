@@ -145,25 +145,31 @@ def _minhash_signatures_from_shingles(
     def sig(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         perm_idx = np.arange(num_perm, dtype=np.int32)
         for pdf in it:
-            docs_out, perms_out, sigs_out = [], [], []
-            for r in pdf.itertuples():
-                x = np.asarray(r.xs, dtype=np.int64)
-                # (num_perm, n_shingles) affine permutations, vectorized;
-                # identical values to an explode+min plan, ~10× cheaper
-                mins = ((a_arr[:, None] * x[None, :] + b_arr[:, None]) % MERSENNE_P31).min(
-                    axis=1
-                )
-                docs_out.append(np.full(num_perm, r.doc_id, dtype=np.int64))
-                perms_out.append(perm_idx)
-                sigs_out.append(mins)
-            if docs_out:
-                yield pd.DataFrame(
-                    {
-                        "doc_id": np.concatenate(docs_out),
-                        "perm": np.concatenate(perms_out),
-                        "sig": np.concatenate(sigs_out),
-                    }
-                )
+            if not len(pdf):
+                continue
+            # ragged-array formulation: flatten every doc's shingle
+            # hashes into one vector, then per permutation one affine
+            # map over the whole batch + segmented min via reduceat —
+            # no Python-level per-doc loop. Values identical to the
+            # per-row (num_perm × n_shingles) matrix formulation.
+            xs_list = [np.asarray(x, dtype=np.int64) for x in pdf["xs"]]
+            lens = np.fromiter((len(x) for x in xs_list), dtype=np.int64, count=len(xs_list))
+            flat = np.concatenate(xs_list)
+            offsets = np.zeros(len(lens), dtype=np.int64)
+            np.cumsum(lens[:-1], out=offsets[1:])
+            n_docs = len(lens)
+            sig_mat = np.empty((n_docs, num_perm), dtype=np.int64)
+            for p in range(num_perm):
+                # products stay < 2^62 (31-bit operands), no overflow
+                vals = (a_arr[p] * flat + b_arr[p]) % MERSENNE_P31
+                sig_mat[:, p] = np.minimum.reduceat(vals, offsets)
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.repeat(pdf["doc_id"].to_numpy(np.int64), num_perm),
+                    "perm": np.tile(perm_idx, n_docs),
+                    "sig": sig_mat.ravel(),
+                }
+            )
 
     return grouped.mapInPandas(sig, schema="doc_id long, perm int, sig long")
 
@@ -318,19 +324,28 @@ def simhash_fingerprints(
     grouped = th.groupBy("doc_id").agg(F.collect_list("th").alias("hashes"))
 
     def fp(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        bits = np.arange(64, dtype=np.uint64)
+        weights = np.left_shift(np.uint64(1), np.arange(64, dtype=np.uint64))
         for pdf in it:
-            out = []
-            for r in pdf.itertuples():
-                hs = np.asarray(r.hashes, dtype=np.int64).view(np.uint64)
-                bitmat = ((hs[:, None] >> bits[None, :]) & 1).astype(np.int32)
-                acc = (2 * bitmat - 1).sum(axis=0)
-                sig = np.uint64(0)
-                for i in range(64):
-                    if acc[i] > 0:
-                        sig |= np.uint64(1) << np.uint64(i)
-                out.append(np.int64(sig.astype(np.int64)))
-            yield pd.DataFrame({"doc_id": pdf["doc_id"].to_numpy(), "simhash": out})
+            if not len(pdf):
+                continue
+            # ragged-array formulation: one flat token-hash vector per
+            # batch; per bit position a segmented popcount via
+            # add.reduceat. Sign rule 2·ones > len ⟺ (2·ones − len) > 0,
+            # identical to the per-doc accumulator loop.
+            hs_list = [np.asarray(h, dtype=np.int64).view(np.uint64) for h in pdf["hashes"]]
+            lens = np.fromiter((len(h) for h in hs_list), dtype=np.int64, count=len(hs_list))
+            flat = np.concatenate(hs_list)
+            offsets = np.zeros(len(lens), dtype=np.int64)
+            np.cumsum(lens[:-1], out=offsets[1:])
+            sig = np.zeros(len(lens), dtype=np.uint64)
+            for b in range(64):
+                ones = np.add.reduceat(
+                    ((flat >> np.uint64(b)) & np.uint64(1)).astype(np.int64), offsets
+                )
+                sig |= np.where(2 * ones > lens, weights[b], np.uint64(0))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].to_numpy(), "simhash": sig.astype(np.int64)}
+            )
 
     return grouped.mapInPandas(fp, schema="doc_id long, simhash long")
 

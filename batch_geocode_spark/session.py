@@ -56,10 +56,16 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            os.environ.get("SPARK_ARROW_BATCH", "20000"),
+        )
         # local test files are small; the 128MB/4MB defaults would fuse
         # them into ~8 scan partitions and starve the other cores
-        .config("spark.sql.files.maxPartitionBytes", "16m")
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_MAX_PARTITION_BYTES", "16m"),
+        )
         .config("spark.sql.files.openCostInBytes", "1m")
         .config("spark.sql.session.timeZone", "UTC")
         # NOTE: empirically a 48g local heap triggers ~100s GC stalls on

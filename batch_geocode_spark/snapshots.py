@@ -200,8 +200,17 @@ class SnapshotTable:
             return os.path.join(self.data_dir, f"ns={ns}", f"bucket={b}")
         return os.path.join(self.data_dir, f"bucket={key}")
 
-    def read(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame:
+    def read(
+        self,
+        spark: SparkSession,
+        snapshot_id: int | None = None,
+        merge_schema: bool = False,
+    ) -> DataFrame:
         """Committed rows only (uncommitted bucket dirs are invisible).
+
+        ``merge_schema=True`` unions the schemas across committed file
+        sets (parquet mergeSchema) — the additive-column evolution path:
+        appenders may add columns over time; older rows read as null.
 
         Zero-count buckets are committed in the manifest but produce no
         directory under dynamic partition overwrite, so they are skipped
@@ -232,7 +241,10 @@ class SnapshotTable:
 
             schema = StructType.fromJson(json.loads(schema_json))
             return spark.read.schema(schema).parquet(self.data_dir)
-        return spark.read.option("basePath", self.data_dir).parquet(*paths)
+        reader = spark.read.option("basePath", self.data_dir)
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(*paths)
 
     def snapshot(self, snapshot_id: int) -> dict:
         path = os.path.join(self.manifest_dir, f"snapshot-{snapshot_id:06d}.json")

@@ -94,6 +94,68 @@ def detect_csv_encoding(
     )
 
 
+def read_csv_bytes(
+    spark: SparkSession,
+    data: bytes,
+    schema: str | None = None,
+    encodings: list[str] | None = None,
+    **read_csv_kwargs,
+) -> tuple[DataFrame, str]:
+    """Uploaded-stream ingest (reference utilities.py:131-150: browser
+    FileStorage bytes → StringIO → pandas): decode with the same
+    encoding sweep, parse on the driver, hand off as a DataFrame.
+    Driver-side BY DESIGN — an uploaded file is one user's browser
+    payload, bounded by the upload, never a distributed input."""
+    import io
+
+    encodings = encodings or DEFAULT_ENCODINGS
+    has_u16_bom = data[:2] in (b"\xff\xfe", b"\xfe\xff")
+    text = enc = None
+    for cand in encodings:
+        if cand.lower().startswith(("utf-16", "utf_16")) and not has_u16_bom:
+            continue
+        try:
+            text, enc = data.decode(cand), cand
+            break
+        except (UnicodeDecodeError, UnicodeError):
+            continue
+    if text is None:
+        raise UnicodeDecodeError("all", data[:32], 0, 1, "no candidate encoding decodes upload")
+    import pandas as pd
+
+    pdf = pd.read_csv(io.StringIO(text), **read_csv_kwargs)
+    df = (
+        spark.createDataFrame(pdf, schema=schema)
+        if schema is not None
+        else spark.createDataFrame(pdf)
+    )
+    return df, enc
+
+
+def read_excel_via_driver(
+    spark: SparkSession, path: str, schema: str | None = None, **read_excel_kwargs
+) -> DataFrame:
+    """Excel ingest (reference utilities.py:174): Spark has no native
+    Excel reader, so this is a driver-side pandas pass-through —
+    gated behind an import-try because no Excel engine (openpyxl/xlrd)
+    ships in this container. The Spark hand-off is real; only the
+    byte-level parse is environment-blocked."""
+    import pandas as pd
+
+    try:
+        pdf = pd.read_excel(path, **read_excel_kwargs)
+    except ImportError as ex:  # no openpyxl/xlrd in this environment
+        raise NotImplementedError(
+            "Excel parsing needs an engine (openpyxl/xlrd) not present in "
+            "this container; plumbing mirrors read_csv_bytes"
+        ) from ex
+    return (
+        spark.createDataFrame(pdf, schema=schema)
+        if schema is not None
+        else spark.createDataFrame(pdf)
+    )
+
+
 def read_csv_with_encoding_sweep(
     spark: SparkSession,
     path: str,

@@ -155,3 +155,18 @@ def test_compact_and_vacuum(spark, tmp_path_factory):
     assert post.set_index("cell")["n"].sort_index().equals(b_)
     # no stray batch namespaces remain on disk
     assert not glob.glob(os.path.join(t.data_dir, "ns=batch-*"))
+
+
+def test_schema_evolution_merge_read(spark, tmp_path_factory):
+    """Additive column evolution: a later append namespace carries an
+    extra column; merge_schema=True reads the union schema with nulls
+    for older rows."""
+    t = SnapshotTable(str(tmp_path_factory.mktemp("evolve")))
+    v1 = spark.createDataFrame([("a", 1)], "cell string, n int")
+    v2 = spark.createDataFrame([("b", 2, "x")], "cell string, n int, tag string")
+    write_snapshotted(v1, t, key_col="cell", n_buckets=2, group_size=2, namespace="b0")
+    write_snapshotted(v2, t, key_col="cell", n_buckets=2, group_size=2, namespace="b1")
+    got = t.read(spark, merge_schema=True).toPandas().set_index("cell")
+    assert "tag" in got.columns
+    assert got.loc["b", "tag"] == "x"
+    assert got.loc["a", "tag"] is None or got.loc["a", "tag"] != got.loc["a", "tag"]

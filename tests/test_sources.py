@@ -80,3 +80,32 @@ def test_no_encoding_fits_raises(tmp_path):
         f.write(b"\xff\xfe\xff\x00\x01junk\x81\x8d")
     with pytest.raises(UnicodeDecodeError):
         sources.detect_csv_encoding(p, encodings=["utf-8", "ascii"])
+
+
+def test_read_csv_bytes_upload(spark):
+    """Uploaded-stream analog (S3): raw latin-1 bytes → sweep → DataFrame."""
+    data = ("id,name\n1,café\n2,naïve\n").encode("latin-1")
+    df, enc = sources.read_csv_bytes(spark, data, schema="id long, name string")
+    assert enc == "latin-1"
+    got = {r["id"]: r["name"] for r in df.collect()}
+    assert got == {1: "café", 2: "naïve"}
+
+
+def test_read_excel_is_environment_blocked(spark, tmp_path):
+    """S2: honestly stubbed — raises NotImplementedError when no Excel
+    engine (openpyxl/xlrd) is installed, instead of pretending. A valid
+    zip container gets past pandas' format sniff so the failure is the
+    engine import itself."""
+    import zipfile
+
+    p = tmp_path / "x.xlsx"
+    with zipfile.ZipFile(p, "w") as z:
+        z.writestr("xl/workbook.xml", "<workbook/>")  # sniffs as xlsx
+    try:
+        import openpyxl  # noqa: F401
+
+        pytest.skip("an Excel engine is installed here; stub not exercised")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError):
+        sources.read_excel_via_driver(spark, str(p))
