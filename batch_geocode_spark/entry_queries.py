@@ -1095,6 +1095,56 @@ ORACLES["q13_percentiles"] = """
 """
 
 
+def q14_cube(spark, sf_dir):
+    """CUBE aggregate (all grouping-set combinations) — completes the
+    grouping-sets family next to q08's ROLLUP."""
+    _views(spark, sf_dir)
+    return (
+        spark.table("orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(_dec_sum("o_totalprice", "revenue"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+QUERIES["q14_cube"] = q14_cube
+ORACLES["q14_cube"] = """
+    SELECT o_orderstatus, o_orderpriority,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      COUNT(*) AS n
+    FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+"""
+
+
+def q15_moving_avg(spark, sf_dir):
+    """Window FRAME aggregate: per-user 3-row moving average of event
+    values ordered by time (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) —
+    the frame-spec member of the window family (q02 covers ranking)."""
+    _views(spark, sf_dir)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("event_id"))
+        .rowsBetween(-2, 0)
+    )
+    ev = spark.table("events")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.avg(F.col("value").cast("decimal(18,6)")).over(w).cast("double"), 6).alias(
+            "mov_avg"
+        ),
+    )
+
+
+QUERIES["q15_moving_avg"] = q15_moving_avg
+ORACLES["q15_moving_avg"] = """
+    SELECT user_id, event_id,
+      ROUND(CAST(AVG(CAST(value AS DECIMAL(18,6))) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE), 6) AS mov_avg
+    FROM events
+"""
+
+
 def d07_dedup_clusters(spark, sf_dir):
     """Connected components over the near-dup pair graph → dedup
     clusters (component id, size, keep-doc). Iterative min-label
