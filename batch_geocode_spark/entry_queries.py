@@ -1095,6 +1095,56 @@ ORACLES["q13_percentiles"] = """
 """
 
 
+def g12_spatial_knn(spark, sf_dir):
+    """J6 cell-bucketed spatial kNN join: each best point meets only
+    gazetteer points in its 3×3 cell ring at res 7 (equi-join, never a
+    cross join), then per-query top-k by haversine. The oracle
+    reproduces the ring semantics with integer cell-coordinate
+    arithmetic (y clamps, x wraps) — exact value-hash check of an op
+    that looks approximate but is deterministic given the ring."""
+    _, best = _geocoded(spark, sf_dir)
+    gaz = _gaz(spark, sf_dir)
+    k = KNN.knn_spatial(best, gaz, k=5, res=7)
+    return k.select(
+        "query_id",
+        "nbr_id",
+        F.round(F.col("nbr_lat").cast("double"), 6).alias("nbr_lat"),
+        F.round(F.col("nbr_lng").cast("double"), 6).alias("nbr_lng"),
+        F.round("dist_km", 6).alias("dist_km"),
+        "knn_rank",
+    )
+
+
+def _g12_oracle() -> str:
+    n = 2**7
+    hi = n - 1
+    qx = f"least({hi}, greatest(0, CAST(floor((best_long + 180.0) / 360.0 * {float(n)}) AS BIGINT)))"
+    qy = f"least({hi}, greatest(0, CAST(floor((best_lat + 90.0) / 180.0 * {float(n)}) AS BIGINT)))"
+    px = f"least({hi}, greatest(0, CAST(floor((lng + 180.0) / 360.0 * {float(n)}) AS BIGINT)))"
+    py = f"least({hi}, greatest(0, CAST(floor((lat + 90.0) / 180.0 * {float(n)}) AS BIGINT)))"
+    dist = haversine_sql("q.best_lat", "q.best_long", "p.lat", "p.lng")
+    return GEO_CTES + f""",
+    q AS (SELECT image_id, best_lat, best_long, {qx} AS qx, {qy} AS qy FROM best),
+    p AS (SELECT gaz_id, lat, lng, {px} AS px, {py} AS py FROM gaz),
+    cand AS (
+      SELECT q.image_id AS query_id, p.gaz_id AS nbr_id,
+             p.lat AS nbr_lat, p.lng AS nbr_lng, {dist} AS dist_km
+      FROM q JOIN p
+        ON p.py BETWEEN q.qy - 1 AND q.qy + 1
+       AND (p.px = q.qx OR p.px = (q.qx + 1) % {n} OR p.px = (q.qx - 1 + {n}) % {n})
+    ),
+    r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY dist_km, nbr_id) AS knn_rank FROM cand)
+    SELECT query_id, nbr_id, ROUND(nbr_lat, 6) AS nbr_lat,
+           ROUND(nbr_lng, 6) AS nbr_lng, ROUND(dist_km, 6) AS dist_km, knn_rank
+    FROM r WHERE knn_rank <= 5
+    """
+
+
+QUERIES["g12_spatial_knn"] = g12_spatial_knn
+ORACLES["g12_spatial_knn"] = _g12_oracle()
+
+
 def q14_cube(spark, sf_dir):
     """CUBE aggregate (all grouping-set combinations) — completes the
     grouping-sets family next to q08's ROLLUP."""
