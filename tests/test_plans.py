@@ -119,3 +119,34 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path_factory):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS b_images")
         spark.sql("DROP TABLE IF EXISTS b_scores")
+
+
+def test_sampling_scan_prunes_text_payload(spark, sf_dir):
+    """d08-style hash sampling must not read the text column — at scale
+    the payload IS the table and the sampling predicate only needs the
+    key + projected columns."""
+    from batch_geocode_spark.operators import sampling as SA
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = SA.stratified_hash_sample(
+        docs, "doc_id", "lang", {"fr": 1.0}, default_fraction=0.1,
+        token_hash="md5_60",
+    ).select("doc_id", "lang", "source")
+    read_schemas = [ln for ln in _plan(out).splitlines() if "ReadSchema" in ln]
+    assert read_schemas and all("text" not in ln for ln in read_schemas)
+
+
+def test_spatial_knn_no_cartesian(spark):
+    """g12's ring join must be an equi-join on cell — never a cross
+    join, never a sort-merge shuffle of the big side beyond the ring
+    explode itself."""
+    from batch_geocode_spark import datagen
+    from batch_geocode_spark.operators import geocode as G
+    from batch_geocode_spark.operators import knn as KNN
+
+    images = datagen.images_to_spark(spark, 200, with_bytes=False)
+    gaz = datagen.gazetteer_to_spark(spark)
+    _, best = G.geocode_images(images, gaz)
+    plan = _plan(KNN.knn_spatial(best, gaz, k=3, res=6))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
