@@ -489,13 +489,58 @@ def d04_ngram_jaccard(spark, sf_dir):
 
 
 def d05_minhash_lsh(spark, sf_dir):
-    """MinHash+LSH near-dup candidates with exact-Jaccard verify
-    (rows-only check: xxhash64 has no DuckDB equivalent)."""
+    """MinHash+LSH near-dup candidates with exact-Jaccard verify —
+    value-checked end-to-end against a DuckDB oracle that reproduces
+    the ENTIRE pipeline (md5-derived shingle hashes → 64 affine
+    permutations → banded md5 keys → candidate join → exact Jaccard).
+    Production runs default to xxhash64 hashing; the math is identical."""
     from batch_geocode_spark.operators import dedup as D
 
     _views(spark, sf_dir)
     docs = spark.table("documents").repartition(spark.sparkContext.defaultParallelism)
-    return D.minhash_lsh_pairs(docs, n=4, threshold=0.5)
+    return D.minhash_lsh_pairs(docs, n=4, threshold=0.5, base_hash="md5_60")
+
+
+def _d05_oracle(num_perm: int = 64, bands: int = 16, threshold: float = 0.5) -> str:
+    from batch_geocode_spark.operators.dedup import MERSENNE_P31, _perm_params
+
+    a, b = _perm_params(num_perm, seed=42)
+    rows = ", ".join(f"({i}, {a[i]}, {b[i]})" for i in range(num_perm))
+    rpb = num_perm // bands
+    p = MERSENNE_P31
+    return rf"""
+    WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+                  FROM documents),
+    sh AS (SELECT DISTINCT doc_id, shingle FROM (
+      SELECT doc_id, unnest(list_transform(range(1, greatest(len(t) - 2, 1)),
+        i -> concat(t[i], ' ', t[i+1], ' ', t[i+2], ' ', t[i+3]))) AS shingle
+      FROM toks)),
+    base AS (SELECT doc_id,
+               CAST(CAST(('0x' || substr(md5(shingle), 1, 15)) AS UBIGINT)
+                    % {p} AS BIGINT) AS x
+             FROM sh),
+    perms(perm, a, b) AS (VALUES {rows}),
+    sigs AS (SELECT doc_id, perm, MIN((a * x + b) % {p}) AS sig
+             FROM base CROSS JOIN perms GROUP BY doc_id, perm),
+    banded AS (SELECT doc_id, CAST(floor(perm / {rpb}) AS INT) AS band,
+                 md5(string_agg(CAST(sig AS VARCHAR), ',' ORDER BY perm)) AS band_key
+               FROM sigs GROUP BY doc_id, CAST(floor(perm / {rpb}) AS INT)),
+    cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+             FROM banded x JOIN banded y USING (band, band_key)
+             WHERE x.doc_id < y.doc_id),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+              FROM cand c
+              JOIN sh s1 ON s1.doc_id = c.doc_a
+              JOIN sh s2 ON s2.doc_id = c.doc_b AND s2.shingle = s1.shingle
+              GROUP BY 1, 2)
+    SELECT i.doc_a, i.doc_b,
+      ROUND(i.n_inter * 1.0 / (sa.sz + sb.sz - i.n_inter), 6) AS jaccard
+    FROM inter i
+      JOIN sizes sa ON i.doc_a = sa.doc_id
+      JOIN sizes sb ON i.doc_b = sb.doc_id
+    WHERE i.n_inter * 1.0 / (sa.sz + sb.sz - i.n_inter) >= {threshold}
+    """
 
 
 def d06_simhash_fingerprints(spark, sf_dir):
@@ -961,6 +1006,7 @@ QUERIES = {
 
 QUERIES["g10_wide_output"] = g10_wide_output
 ORACLES["g10_wide_output"] = _wide_oracle()
+ORACLES["d05_minhash_lsh"] = _d05_oracle()
 
 
 def q11_sessionize(spark, sf_dir):

@@ -123,23 +123,36 @@ def _perm_params(num_perm: int, seed: int = 42) -> tuple[list[int], list[int]]:
 
 
 def minhash_signatures(
-    docs: DataFrame, n: int = 4, num_perm: int = 64, seed: int = 42
+    docs: DataFrame, n: int = 4, num_perm: int = 64, seed: int = 42,
+    base_hash: str = "xxhash64",
 ) -> DataFrame:
     """(doc_id, perm, sig): MinHash signature rows — explode shingle base
     hashes through affine permutations, keyed min-aggregate (map-side
-    combine keeps shuffle volume at num_perm rows/doc)."""
+    combine keeps shuffle volume at num_perm rows/doc).
+
+    ``base_hash='md5_60'`` switches the shingle base hash to the
+    cross-engine md5-derived hash so a DuckDB oracle can reproduce the
+    signatures value-for-value; xxhash64 stays the production default."""
     return _minhash_signatures_from_shingles(
-        word_shingles(docs, n=n), num_perm=num_perm, seed=seed
+        word_shingles(docs, n=n), num_perm=num_perm, seed=seed, base_hash=base_hash
     )
 
 
 def _minhash_signatures_from_shingles(
-    sh: DataFrame, num_perm: int = 64, seed: int = 42
+    sh: DataFrame, num_perm: int = 64, seed: int = 42, base_hash: str = "xxhash64"
 ) -> DataFrame:
+    from batch_geocode_spark.functions.hashing import hash60
+
     a, b = _perm_params(num_perm, seed)
     a_arr = np.asarray(a, dtype=np.int64)
     b_arr = np.asarray(b, dtype=np.int64)
-    base = sh.select("doc_id", F.pmod(F.xxhash64("shingle"), F.lit(MERSENNE_P31)).alias("x"))
+    if base_hash == "xxhash64":
+        h = F.xxhash64("shingle")
+    elif base_hash == "md5_60":
+        h = hash60(F.col("shingle"))
+    else:
+        raise ValueError(f"unknown base_hash {base_hash!r}")
+    base = sh.select("doc_id", F.pmod(h, F.lit(MERSENNE_P31)).alias("x"))
     grouped = base.groupBy("doc_id").agg(F.collect_list("x").alias("xs"))
 
     def sig(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -182,6 +195,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     seed: int = 42,
     cache_shingles: bool = True,
+    base_hash: str = "xxhash64",
 ) -> DataFrame:
     """Candidate pairs from banded MinHash signatures, then EXACT Jaccard
     verification — the approximate step only generates candidates, never
@@ -190,18 +204,32 @@ def minhash_lsh_pairs(
     The (doc, shingle) table feeds BOTH the signature branch and the
     verify branch of the same DAG; ``cache_shingles`` persists it
     (memory+disk, spill-safe) so the shingle explode+distinct runs once
-    instead of twice per action."""
+    instead of twice per action.
+
+    ``base_hash='md5_60'`` makes the WHOLE pipeline cross-engine
+    deterministic: md5-derived shingle hashes + an md5-of-sorted-sigs
+    band key (instead of xxhash64 for both), so a DuckDB oracle can
+    reproduce the final pair set value-for-value."""
     rows_per_band = num_perm // bands
     sh = word_shingles(docs, n=n)
     if cache_shingles:
         from pyspark import StorageLevel
 
         sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
-    sigs = _minhash_signatures_from_shingles(sh, num_perm=num_perm, seed=seed)
+    sigs = _minhash_signatures_from_shingles(
+        sh, num_perm=num_perm, seed=seed, base_hash=base_hash
+    )
+    sorted_sigs = F.sort_array(F.collect_list(F.struct("perm", "sig")))
+    if base_hash == "md5_60":
+        band_key = F.md5(
+            F.concat_ws(",", F.transform(sorted_sigs, lambda s: s["sig"].cast("string")))
+        )
+    else:
+        band_key = F.xxhash64(sorted_sigs)
     banded = (
         sigs.withColumn("band", (F.col("perm") / rows_per_band).cast("int"))
         .groupBy("doc_id", "band")
-        .agg(F.xxhash64(F.sort_array(F.collect_list(F.struct("perm", "sig")))).alias("band_key"))
+        .agg(band_key.alias("band_key"))
     )
     a = banded.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
     b = banded.select(F.col("doc_id").alias("doc_b"), "band", "band_key")
