@@ -1344,6 +1344,42 @@ ORACLES["t05_bigram_stats"] = r"""
 """
 
 
+def e05_embedding_dup_clusters(spark, sf_dir):
+    """Cross-family composition: exact cosine near-dup pairs (e02) →
+    connected components → embedding-level dedup clusters. The oracle
+    reuses the e02 pair SQL inside a recursive-CTE transitive closure."""
+    from batch_geocode_spark.operators import dedup as D
+    from batch_geocode_spark.operators import similarity as S
+
+    _views(spark, sf_dir)
+    pairs = S.cosine_near_dup_pairs(spark.table("embeddings"), threshold=0.45, use_lsh=False)
+    return D.dedup_clusters(pairs, id_a="id_a", id_b="id_b").select(
+        "component", "n_docs", "keep_doc_id"
+    )
+
+
+QUERIES["e05_embedding_dup_clusters"] = e05_embedding_dup_clusters
+ORACLES["e05_embedding_dup_clusters"] = (
+    """
+    WITH RECURSIVE pairs AS ("""
+    + ORACLES["e02_cosine_near_dup"]
+    + """),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b AS a, id_a AS b FROM pairs),
+    nodes AS (SELECT DISTINCT a AS node FROM edges),
+    reach(node, lbl) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node),
+    comp AS (SELECT node, MIN(lbl) AS component FROM reach GROUP BY node)
+    SELECT component, COUNT(*) AS n_docs, MIN(node) AS keep_doc_id
+    FROM comp GROUP BY component
+"""
+)
+
+
 def v01_vet_json_roundtrip(spark, sf_dir):
     """F7/F11/P10 vetting JSON wire round-trip: wide table → split
     meta/geo → to_json payload keyed '<idx>: <caption>' → from_json +
