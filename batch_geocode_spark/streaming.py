@@ -80,6 +80,25 @@ def stream_geocode_to_snapshots(
     return writer.start()
 
 
+def stream_exact_dedup(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """STATEFUL streaming exact dedup: drop rows whose key was already
+    seen, with state bounded by the watermark
+    (``dropDuplicatesWithinWatermark`` — duplicates are only guaranteed
+    dropped while their first occurrence is younger than the watermark,
+    which is exactly the bounded-state contract a 10^12-row stream
+    needs; unbounded dropDuplicates state would grow forever). Works on
+    batch DataFrames too (falls back to plain dropDuplicates there)."""
+    ev = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    if ev.isStreaming:
+        return ev.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(key_cols)
+    return ev.dropDuplicates(key_cols)
+
+
 def stream_pip_matches(
     spark: SparkSession,
     input_dir: str,

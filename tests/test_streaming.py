@@ -293,3 +293,40 @@ def test_stream_knn_matches_batch(spark, tmp_path_factory):
     assert got["image_id"].tolist() == want["image_id"].tolist()
     assert got["knn_rank"].tolist() == want["knn_rank"].tolist()
     assert got["dist_km"].tolist() == want["dist_km"].tolist()
+
+
+def test_stream_exact_dedup_across_batches(spark, sf_dir, tmp_path_factory):
+    """Stateful streaming dedup: a duplicate arriving in a LATER
+    micro-batch (within the watermark) is dropped; batch fallback
+    produces the same distinct key set."""
+    in_dir = str(tmp_path_factory.mktemp("dd_in"))
+    ckpt = str(tmp_path_factory.mktemp("dd_ckpt"))
+    from datetime import datetime, timedelta
+
+    base = datetime(2026, 1, 1, 0, 0, 0)
+    rows_a = [(f"e{i}", f"u{i % 3}", base + timedelta(minutes=i), 1.0) for i in range(20)]
+    rows_b = rows_a[5:10] + [  # re-deliveries + fresh rows
+        (f"e{100+i}", "u9", base + timedelta(minutes=30 + i), 2.0) for i in range(5)
+    ]
+    schema = "event_id string, user_id string, ts timestamp, value double"
+    spark.createDataFrame(rows_a, schema).coalesce(1).write.mode("append").parquet(in_dir)
+    spark.createDataFrame(rows_b, schema).coalesce(1).write.mode("append").parquet(in_dir)
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(in_dir)
+    out = streaming.stream_exact_dedup(stream, ["event_id"], watermark="2 hours")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.table("dedup_stream").toPandas()
+    assert len(got) == 25  # 20 + 5 fresh, 5 re-deliveries dropped
+    assert got["event_id"].is_unique
+    # batch fallback: same distinct keys
+    both = spark.read.parquet(in_dir)
+    batch = streaming.stream_exact_dedup(both, ["event_id"])
+    assert batch.count() == 25
