@@ -252,6 +252,66 @@ class SnapshotTable:
             return json.load(f)
 
 
+def upsert_snapshotted(
+    df: DataFrame,
+    table: SnapshotTable,
+    key_col: str = "image_id",
+    n_buckets: int = 32,
+    job_id: str | None = None,
+) -> dict:
+    """Keyed upsert (MERGE INTO analog) with BUCKET PRUNING: only the
+    buckets that contain an incoming key are read, merged (incoming row
+    wins on key conflict), and rewritten — at 10^12 rows an upsert of a
+    few thousand keys touches a handful of bucket directories, never
+    the table. Plain-layout tables only (append-namespace tables are
+    delta logs; compact first). ``n_buckets`` must match the value the
+    table was written with — it is validated against the manifest."""
+    spark = df.sparkSession
+    job_id = job_id or f"upsert-{uuid.uuid4().hex[:8]}"
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    cur = table.current()
+    if cur is not None:
+        committed = table.committed_buckets()
+        if any("/" in k for k in committed):
+            raise ValueError("upsert requires a plain-layout table (compact first)")
+        manifest_n = cur.get("metrics", {}).get("n_buckets")
+        if manifest_n is not None and int(manifest_n) != n_buckets:
+            raise ValueError(
+                f"table was written with n_buckets={manifest_n}, got {n_buckets}"
+            )
+
+    incoming = df.withColumn("bucket", bucket_expr(key_col, n_buckets))
+    affected = sorted(
+        int(r["bucket"]) for r in incoming.select("bucket").distinct().collect()
+    )
+    if cur is None:
+        merged = incoming
+    else:
+        old = table.read(spark).filter(F.col("bucket").isin(affected))
+        keep = old.join(
+            incoming.select(key_col).distinct(), key_col, "left_anti"
+        )
+        merged = keep.select(*incoming.columns).unionByName(incoming)
+    # materialize BEFORE overwriting: the merge plan reads the very
+    # bucket directories the write replaces (classic self-overwrite
+    # hazard), and the post-write count must not re-scan deleted files.
+    # The checkpoint holds only the affected buckets — small by design.
+    merged = merged.localCheckpoint()
+    merged.write.mode("overwrite").partitionBy("bucket").parquet(table.data_dir)
+    counts = {
+        str(int(r["bucket"])): int(r["count"])
+        for r in merged.groupBy("bucket").count().collect()
+    }
+    for b in affected:
+        counts.setdefault(str(b), 0)
+    return table.commit(
+        counts,
+        job_id,
+        extra={"upsert_buckets": affected, "n_buckets": n_buckets},
+        schema_json=incoming.schema.json(),
+    )
+
+
 def compact_table(
     spark: SparkSession,
     table: SnapshotTable,
@@ -347,7 +407,12 @@ def write_snapshotted(
         last = table.commit(
             counts,
             job_id,
-            extra={"group_index": gi, "group": list(group), "namespace": namespace},
+            extra={
+                "group_index": gi,
+                "group": list(group),
+                "namespace": namespace,
+                "n_buckets": n_buckets,
+            },
             schema_json=schema_json,
         )
         if fail_after_groups is not None and gi + 1 >= fail_after_groups:

@@ -170,3 +170,46 @@ def test_schema_evolution_merge_read(spark, tmp_path_factory):
     assert "tag" in got.columns
     assert got.loc["b", "tag"] == "x"
     assert got.loc["a", "tag"] is None or got.loc["a", "tag"] != got.loc["a", "tag"]
+
+
+def test_upsert_with_bucket_pruning(spark, tmp_path_factory):
+    """MERGE-analog: incoming keys overwrite, new keys insert, and ONLY
+    the buckets containing incoming keys are rewritten (pruning
+    asserted via directory mtimes)."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from batch_geocode_spark.snapshots import bucket_expr, upsert_snapshotted
+
+    t = SnapshotTable(str(tmp_path_factory.mktemp("upsert")))
+    base = spark.createDataFrame(
+        [(f"k{i}", i) for i in range(200)], "image_id string, v int"
+    )
+    write_snapshotted(base, t, key_col="image_id", n_buckets=16, group_size=16)
+    mtimes_before = {
+        d: os.path.getmtime(d) for d in glob.glob(os.path.join(t.data_dir, "bucket=*"))
+    }
+
+    up = spark.createDataFrame(
+        [("k0", 1000), ("k1", 1001), ("new1", 2000)], "image_id string, v int"
+    )
+    snap = upsert_snapshotted(up, t, key_col="image_id", n_buckets=16)
+    got = t.read(spark).toPandas().set_index("image_id")["v"]
+    assert got["k0"] == 1000 and got["k1"] == 1001 and got["new1"] == 2000
+    assert got["k5"] == 5  # untouched key intact
+    assert len(got) == 201
+    assert snap["total_rows"] == 201
+    # pruning: only the affected buckets' dirs were rewritten
+    affected = {
+        int(r["b"]) for r in up.select(bucket_expr("image_id", 16).alias("b")).collect()
+    }
+    for d, mt in mtimes_before.items():
+        b = int(d.rsplit("=", 1)[1])
+        if b not in affected:
+            assert os.path.getmtime(d) == mt, f"bucket {b} rewritten needlessly"
+
+    # wrong n_buckets is rejected (keys would hash to different buckets)
+    with pytest.raises(ValueError, match="n_buckets"):
+        upsert_snapshotted(up, t, key_col="image_id", n_buckets=8)
