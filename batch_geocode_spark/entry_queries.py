@@ -563,8 +563,13 @@ def e02_cosine_near_dup(spark, sf_dir):
 
 
 def e03_ann_topk(spark, sf_dir):
-    """LSH-bucketed approximate top-k (rows-only: approximate by design;
-    recall vs brute force is pytest-asserted)."""
+    """LSH-bucketed approximate top-k (rows-only: approximate by
+    design). NOTE: the driver embeddings are unstructured random
+    vectors (nearest neighbors at cos ~0.36) — the worst case for any
+    sublinear ANN, so top-k overlap with brute force is inherently low
+    HERE; the contract ANN makes (high-similarity matches retrieved) is
+    pytest-pinned on planted cos>0.99 twins of driver vectors with
+    these exact parameters (test_ann_recall_on_driver_tables)."""
     from batch_geocode_spark.operators import similarity as S
 
     _views(spark, sf_dir)
@@ -1413,7 +1418,9 @@ ORACLES["v01_vet_json_roundtrip"] = _wide_oracle()
 
 def e04_ivf_topk(spark, sf_dir):
     """IVF ANN: k-means coarse quantizer + inverted-list probe + exact
-    rescoring (rows-only: approximate by design; recall pytest-asserted)."""
+    rescoring (rows-only: approximate by design; see the e03 note on
+    the unstructured driver data — the high-similarity retrieval
+    contract is pytest-pinned with these exact parameters)."""
     from batch_geocode_spark.operators import similarity as S
 
     _views(spark, sf_dir)

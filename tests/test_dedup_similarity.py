@@ -254,3 +254,34 @@ def test_stratified_hash_sample_fractions(spark):
     frac = out.groupby("lang").size()
     assert frac["fr"] == 1000                 # keep all rare-language rows
     assert 40 < frac.get("en", 0) < 200       # ~10% of the rest
+
+
+def test_ann_recall_on_driver_tables(spark, sf_dir):
+    """e03/e04 are the only rows-only driver queries (approximate by
+    design). The driver embeddings are UNSTRUCTURED (intra-label sim ==
+    inter-label sim ~= 0; nearest neighbors at cos ~0.36), which is the
+    known worst case where top-k recall of any sublinear ANN is low —
+    so this pins the contract ANN actually makes: a HIGH-similarity
+    match (a perturbed twin of a corpus vector, cos > 0.99) is
+    retrieved at rank 1 with recall >= 0.9 by both the LSH and IVF
+    paths, with the exact e03/e04 parameters."""
+    import numpy as np
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pdf = emb.filter(F.col("vec_id") < 20).toPandas()
+    rng = np.random.default_rng(17)
+    rows = []
+    for r in pdf.itertuples():
+        v = np.asarray(r.embedding, dtype=np.float64)
+        tw = v + 0.02 * rng.standard_normal(len(v)) * np.linalg.norm(v) / np.sqrt(len(v))
+        rows.append((10_000 + r.vec_id, tw.astype(np.float32).tolist(), int(r.label)))
+    queries = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+    def planted_recall(df):
+        got = df[df["rank"] == 1].set_index("query_id")["corpus_id"]
+        return np.mean([got.get(10_000 + q, -1) == q for q in pdf["vec_id"]])
+
+    lsh = S.ann_lsh_topk(queries, emb, dim=64, k=5, n_tables=8, bits=8).toPandas()
+    ivf = S.ivf_topk(queries, emb, dim=64, k=5, n_centroids=16, n_probe=4).toPandas()
+    assert planted_recall(lsh) >= 0.9, "e03 params must retrieve cos>0.99 twins"
+    assert planted_recall(ivf) >= 0.9, "e04 params must retrieve cos>0.99 twins"
