@@ -1196,6 +1196,31 @@ QUERIES["g12_spatial_knn"] = g12_spatial_knn
 ORACLES["g12_spatial_knn"] = _g12_oracle()
 
 
+def g13_density_rollup(spark, sf_dir):
+    """A7 hierarchical tile rollup: res-9 cell densities re-aggregated
+    at res 6 via parent-id arithmetic (bit shifts on (x, y)) — the
+    hypertable-rollup shape. The oracle encodes DIRECTLY at res 6,
+    which must agree because floor(floor(v·2⁹)/2³) = floor(v·2⁶) and
+    the boundary clamps commute with the shift."""
+    from batch_geocode_spark.operators import tiles as T
+
+    _, best = _geocoded(spark, sf_dir)
+    dens = T.cell_density(best, res=TILE_RES)
+    return R.density_rollup(dens, res=TILE_RES, parent_res=6).select(
+        F.col("parent").alias("cell"), "n_images"
+    )
+
+
+QUERIES["g13_density_rollup"] = g13_density_rollup
+ORACLES["g13_density_rollup"] = _oracle_geo(
+    f"""
+    SELECT {cell_encode_sql('best_lat', 'best_long', 6)} AS cell,
+           COUNT(*) AS n_images
+    FROM best GROUP BY 1
+"""
+)
+
+
 def q14_cube(spark, sf_dir):
     """CUBE aggregate (all grouping-set combinations) — completes the
     grouping-sets family next to q08's ROLLUP."""
