@@ -257,60 +257,110 @@ def minhash_lsh_pairs(
 
 
 # -------------------------------------------------- connected components
+def _large_star(edges: DataFrame) -> DataFrame:
+    """One large-star round: every node links its LARGER neighbors to the
+    minimum of its closed neighborhood. Input/output edges are canonical
+    (a > b); output stays canonical because m <= u < v for every emitted
+    (v, m)."""
+    adj = edges.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+        edges.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    mins = adj.groupBy("u").agg(F.min("v").alias("mn"))
+    mins = mins.select("u", F.least("mn", "u").alias("m"))
+    return (
+        adj.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("a"), F.col("m").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """One small-star round: every node links its SMALLER neighbors (and
+    itself) to the minimum of that closed neighborhood. Input edges must
+    be canonical (a > b, which large-star guarantees); output is
+    canonical for the same reason."""
+    mins = edges.groupBy("a").agg(F.min("b").alias("m"))
+    relink = (
+        edges.join(mins, "a")
+        .filter(F.col("b") != F.col("m"))
+        .select(F.col("b").alias("a"), F.col("m").alias("b"))
+    )
+    selflink = mins.select(F.col("a"), F.col("m").alias("b"))
+    return relink.unionByName(selflink).filter(F.col("a") != F.col("b")).distinct()
+
+
+def _edge_signature(edges: DataFrame) -> tuple[int, int]:
+    """(count, order-independent hash-sum) of an edge set — a one-job
+    fixed-point probe with no join (the round-2 convergence check was a
+    driver-blocking join+limit per round)."""
+    # bit_xor: order-independent and overflow-free under ANSI mode
+    # (sum(xxhash64) raises ARITHMETIC_OVERFLOW there)
+    row = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.bit_xor(F.xxhash64("a", "b")), F.lit(0)).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "doc_a",
     id_b: str = "doc_b",
-    max_iter: int = 25,
+    max_iter: int = 30,
 ) -> DataFrame:
     """(node, component): connected components of the near-dup pair
-    graph by min-label propagation — the step that turns PAIRS into
-    DEDUP CLUSTERS (keep one doc per component).
+    graph — the step that turns PAIRS into DEDUP CLUSTERS (keep one doc
+    per component). Component label = min node id, so results are
+    deterministic and engine-independent.
 
-    Iterative Spark shape: each round is one join + one min-aggregate;
-    ``localCheckpoint`` truncates the lineage every round (without it
-    the plan doubles per iteration and the DAG scheduler, not the data,
-    becomes the bottleneck). Converges in O(component diameter) rounds —
-    near-dup clusters are shallow (dense blobs around a few docs), so
-    a handful of rounds suffice; raise ``max_iter`` for chain-shaped
-    graphs or switch to large-star/small-star (same building blocks)
-    if diameters ever get genuinely deep.
+    Algorithm: alternating large-star / small-star (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14) — each
+    round is two groupBy+join passes over the edge set and the edge set
+    converges to per-component stars centered at the minimum node in
+    O(log n) rounds REGARDLESS of component diameter. Round-2's
+    min-label propagation needed O(diameter) rounds and silently
+    returned split components when a chain-shaped near-dup graph (e.g.
+    templated text) exceeded ``max_iter``; this version is depth-robust
+    AND raises if the cap is ever hit rather than returning wrong
+    labels. ``localCheckpoint`` truncates lineage each round (without
+    it the plan doubles per iteration and the DAG scheduler, not the
+    data, becomes the bottleneck); the fixed-point probe is a single
+    count+hash aggregate, not a join.
     """
-    edges = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
-    edges = edges.unionByName(
-        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).distinct()
-    edges = edges.localCheckpoint()
-    labels = (
-        edges.select(F.col("a").alias("node"))
+    edges = (
+        pairs.select(
+            F.greatest(F.col(id_a), F.col(id_b)).alias("a"),
+            F.least(F.col(id_a), F.col(id_b)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
         .distinct()
-        .withColumn("comp", F.col("node"))
         .localCheckpoint()
     )
+    sig = _edge_signature(edges)
+    if sig[0] == 0:
+        return edges.select(F.col("a").alias("node"), F.col("b").alias("component"))
+    converged = False
     for _ in range(max_iter):
-        prop = (
-            edges.join(labels, edges["a"] == labels["node"])
-            .select(F.col("b").alias("node"), F.col("comp"))
-            .groupBy("node")
-            .agg(F.min("comp").alias("new_comp"))
-        )
-        new_labels = labels.join(prop, "node", "left").select(
-            "node",
-            F.least(F.col("comp"), F.coalesce(F.col("new_comp"), F.col("comp"))).alias(
-                "comp"
-            ),
-        ).localCheckpoint()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        edges = _small_star(_large_star(edges)).localCheckpoint()
+        new_sig = _edge_signature(edges)
+        if new_sig == sig:
+            converged = True
             break
-    return labels.select("node", F.col("comp").alias("component"))
+        sig = new_sig
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter={max_iter} "
+            "rounds — raise max_iter (the alternating-star algorithm needs "
+            "O(log n) rounds, so hitting this cap indicates a pathological "
+            "input, not normal depth)"
+        )
+    # fixed point = stars: every non-root node has exactly one edge to
+    # its component's minimum id; roots label themselves
+    return edges.select(F.col("a").alias("node"), F.col("b").alias("component")).unionByName(
+        edges.select(F.col("b").alias("node"), F.col("b").alias("component")).distinct()
+    )
 
 
 def dedup_clusters(

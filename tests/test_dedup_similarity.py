@@ -228,6 +228,58 @@ def test_connected_components_label_propagation(spark):
     assert list(clusters.loc[10, "members"]) == [10, 11, 12]
 
 
+def test_connected_components_deep_chain(spark):
+    """A 120-deep chain (shuffled ids so the min label sits mid-chain)
+    — min-label propagation capped at 25 rounds returned SPLIT
+    components here; the alternating-star algorithm must return one
+    correct component in O(log n) rounds."""
+    import random
+
+    rng = random.Random(7)
+    ids = list(range(1000, 1121))
+    rng.shuffle(ids)
+    pairs = spark.createDataFrame(
+        [(ids[i], ids[i + 1]) for i in range(len(ids) - 1)],
+        "doc_a long, doc_b long",
+    )
+    got = D.connected_components(pairs).toPandas()
+    assert set(got["component"]) == {1000}
+    assert set(got["node"]) == set(ids)
+    # and a second, disjoint deep chain stays separate
+    ids2 = list(range(5000, 5101))
+    rng.shuffle(ids2)
+    both = pairs.unionByName(
+        spark.createDataFrame(
+            [(ids2[i], ids2[i + 1]) for i in range(len(ids2) - 1)],
+            "doc_a long, doc_b long",
+        )
+    )
+    got2 = D.connected_components(both).toPandas()
+    comp = dict(zip(got2["node"], got2["component"]))
+    assert all(comp[i] == 1000 for i in ids) and all(comp[i] == 5000 for i in ids2)
+
+
+def test_connected_components_raises_on_iteration_cap(spark):
+    """The cap must RAISE, never return unconverged labels (round-2's
+    silent-truncation bug)."""
+    import pytest
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        D.connected_components(pairs, max_iter=1)
+
+
+def test_connected_components_empty_and_self_pairs(spark):
+    """Self-pairs are dropped; an empty pair set yields empty labels."""
+    pairs = spark.createDataFrame([(7, 7), (3, 9)], "doc_a long, doc_b long")
+    got = {r["node"]: r["component"] for r in D.connected_components(pairs).collect()}
+    assert got == {3: 3, 9: 3}
+    empty = pairs.filter("doc_a < 0")
+    assert D.connected_components(empty).count() == 0
+
+
 def test_hash_sample_deterministic_and_nested(spark):
     from batch_geocode_spark.operators import sampling as SA
 
