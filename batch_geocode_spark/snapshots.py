@@ -240,7 +240,10 @@ class SnapshotTable:
             from pyspark.sql.types import StructType
 
             schema = StructType.fromJson(json.loads(schema_json))
-            return spark.read.schema(schema).parquet(self.data_dir)
+            # a truly empty frame — scanning data_dir here would surface
+            # uncommitted bucket dirs left by a crashed writer, violating
+            # the committed-rows-only invariant exactly when it matters
+            return spark.createDataFrame([], schema)
         reader = spark.read.option("basePath", self.data_dir)
         if merge_schema:
             reader = reader.option("mergeSchema", "true")
@@ -264,8 +267,10 @@ def upsert_snapshotted(
     wins on key conflict), and rewritten — at 10^12 rows an upsert of a
     few thousand keys touches a handful of bucket directories, never
     the table. Plain-layout tables only (append-namespace tables are
-    delta logs; compact first). ``n_buckets`` must match the value the
-    table was written with — it is validated against the manifest."""
+    delta logs; run ``compact_table(..., layout='plain')`` first — the
+    namespace→plain rewrite that makes a table upsertable).
+    ``n_buckets`` must match the value the table was written with — it
+    is validated against the manifest."""
     spark = df.sparkSession
     job_id = job_id or f"upsert-{uuid.uuid4().hex[:8]}"
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -273,7 +278,10 @@ def upsert_snapshotted(
     if cur is not None:
         committed = table.committed_buckets()
         if any("/" in k for k in committed):
-            raise ValueError("upsert requires a plain-layout table (compact first)")
+            raise ValueError(
+                "upsert requires a plain-layout table "
+                "(run compact_table(layout='plain') first)"
+            )
         manifest_n = cur.get("metrics", {}).get("n_buckets")
         if manifest_n is not None and int(manifest_n) != n_buckets:
             raise ValueError(
@@ -318,33 +326,51 @@ def compact_table(
     key_col: str,
     n_buckets: int = 32,
     job_id: str | None = None,
+    layout: str = "namespace",
 ) -> dict:
     """Small-file compaction (Iceberg rewrite_data_files analog):
     streaming appends leave one file set per (batch, bucket); this job
-    reads every committed row, rewrites it under ONE fresh namespace,
-    and commits a REPLACING snapshot. Readers flip atomically to the
-    compacted layout; pre-compaction snapshots stay time-travelable
-    until ``table.vacuum()`` reclaims their directories."""
+    reads every committed row, rewrites it compacted, and commits a
+    REPLACING snapshot. Readers flip atomically to the compacted
+    layout; pre-compaction snapshots stay time-travelable until
+    ``table.vacuum()`` reclaims their directories.
+
+    ``layout='namespace'`` (default) writes under one fresh
+    ``ns=compact-N`` namespace — append-log style. ``layout='plain'``
+    rewrites to the plain ``bucket=N`` layout, which is the bridge from
+    an append-namespaced delta log to an UPSERTABLE table
+    (``upsert_snapshotted`` requires plain layout); the rows are
+    materialized (localCheckpoint) before the overwrite because the
+    target bucket dirs may be the very dirs being read."""
     cur = table.current()
     if cur is None:
         raise ValueError(f"nothing to compact in {table.root}")
-    ns = f"compact-{cur['snapshot_id'] + 1}"
+    if layout not in ("namespace", "plain"):
+        raise ValueError(f"unknown layout {layout!r}")
     df = table.read(spark).drop("ns", "bucket")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    bucketed = df.withColumn("bucket", bucket_expr(key_col, n_buckets)).withColumn(
-        "ns", F.lit(ns)
-    )
-    bucketed.write.mode("overwrite").partitionBy("ns", "bucket").parquet(table.data_dir)
+    bucketed = df.withColumn("bucket", bucket_expr(key_col, n_buckets))
+    if layout == "namespace":
+        ns = f"compact-{cur['snapshot_id'] + 1}"
+        bucketed = bucketed.withColumn("ns", F.lit(ns))
+        bucketed.write.mode("overwrite").partitionBy("ns", "bucket").parquet(
+            table.data_dir
+        )
+        key_of = lambda b: f"{ns}/{b}"  # noqa: E731
+    else:
+        bucketed = bucketed.localCheckpoint()
+        bucketed.write.mode("overwrite").partitionBy("bucket").parquet(table.data_dir)
+        key_of = str
     counts = {
-        f"{ns}/{int(r['bucket'])}": int(r["count"])
+        key_of(int(r["bucket"])): int(r["count"])
         for r in bucketed.groupBy("bucket").count().collect()
     }
     for b in range(n_buckets):
-        counts.setdefault(f"{ns}/{b}", 0)
+        counts.setdefault(key_of(b), 0)
     return table.commit_replace(
         counts,
         job_id or f"compact-{cur['snapshot_id'] + 1}",
-        extra={"compacted_from": cur["snapshot_id"]},
+        extra={"compacted_from": cur["snapshot_id"], "n_buckets": n_buckets},
         schema_json=bucketed.schema.json(),
     )
 
@@ -394,9 +420,20 @@ def write_snapshotted(
     groups = [pending[i : i + group_size] for i in range(0, len(pending), group_size)]
     schema_json = bucketed.schema.json()
 
+    # materialize the (pending rows of the) derivation ONCE: each group
+    # commit below filters + writes + counts, and without a checkpoint
+    # every one of those re-runs the full upstream DAG (n_buckets /
+    # group_size rescans). The per-group commit stays the crash-resume
+    # granularity; only the recomputation is gone.
+    source = bucketed
+    if len(groups) > 1:
+        source = bucketed.filter(
+            F.col("bucket").isin([int(b) for b in pending])
+        ).localCheckpoint()
+
     last = table.current() or {}
     for gi, group in enumerate(groups):
-        part = bucketed.filter(F.col("bucket").isin([int(b) for b in group]))
+        part = source.filter(F.col("bucket").isin([int(b) for b in group]))
         part.write.mode("overwrite").partitionBy(*part_cols).parquet(table.data_dir)
         counts = {
             key_of(int(r["bucket"])): int(r["count"])

@@ -144,21 +144,22 @@ def stream_knn_to_parquet(
 ):
     """Stream-static kNN: per-image candidate ranking needs a window
     over image_id — a stateful shape — so each micro-batch runs the
-    batch operator via foreachBatch and appends its results (an image's
-    candidates arrive together in one file drop, so per-batch windows
-    are exact)."""
-    from batch_geocode_spark.operators import knn as KNN
+    batch operator via foreachBatch and lands its results under a
+    ``batch_id=N`` partition with dynamic partition overwrite (an
+    image's candidates arrive together in one file drop, so per-batch
+    windows are exact).
 
+    EXACTLY-ONCE output: Structured Streaming replays the last
+    uncommitted batch after a crash; a plain append sink would
+    duplicate those rows. Keying the write by batch_id makes the replay
+    overwrite its own partition and nothing else — the same idempotence
+    contract stream_geocode_to_snapshots gets from per-batch snapshot
+    namespaces."""
     reader = spark.readStream.schema(IMAGES_SCHEMA)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.parquet(input_dir)
-
-    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        vetted = G.vet_candidates(G.build_candidates(batch_df, gazetteer))
-        KNN.knn_within_image(vetted, k=k).write.mode("append").parquet(out_dir)
+    process_batch = _knn_batch_writer(gazetteer, out_dir, k)
 
     writer = (
         stream.writeStream.foreachBatch(process_batch)
@@ -168,6 +169,29 @@ def stream_knn_to_parquet(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def _knn_batch_writer(gazetteer: DataFrame, out_dir: str, k: int):
+    """foreachBatch body for stream_knn_to_parquet — module-level so the
+    replay-idempotence contract is directly testable: calling it twice
+    with the same batch_id must leave exactly one copy of the rows."""
+    from batch_geocode_spark.operators import knn as KNN
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        vetted = G.vet_candidates(G.build_candidates(batch_df, gazetteer))
+        (
+            KNN.knn_within_image(vetted, k=k)
+            .withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .parquet(out_dir)
+        )
+
+    return process_batch
 
 
 def read_density(spark: SparkSession, table: SnapshotTable) -> DataFrame:

@@ -337,3 +337,15 @@ def test_ann_recall_on_driver_tables(spark, sf_dir):
     ivf = S.ivf_topk(queries, emb, dim=64, k=5, n_centroids=16, n_probe=4).toPandas()
     assert planted_recall(lsh) >= 0.9, "e03 params must retrieve cos>0.99 twins"
     assert planted_recall(ivf) >= 0.9, "e04 params must retrieve cos>0.99 twins"
+
+
+def test_minhash_lsh_releases_shingle_cache(spark, docs):
+    """ADVICE r2: the persisted shingle table must be unpersisted once
+    the pairs are materialized — repeated calls in one session must not
+    accumulate cached partitions."""
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    before = cm.cachedData().size()  # module fixtures hold their own caches
+    for _ in range(2):
+        out = D.minhash_lsh_pairs(docs, n=4, threshold=0.5)
+        assert out.count() > 0
+    assert cm.cachedData().size() == before

@@ -213,3 +213,73 @@ def test_upsert_with_bucket_pruning(spark, tmp_path_factory):
     # wrong n_buckets is rejected (keys would hash to different buckets)
     with pytest.raises(ValueError, match="n_buckets"):
         upsert_snapshotted(up, t, key_col="image_id", n_buckets=8)
+
+
+def test_all_empty_read_ignores_uncommitted_dirs(spark, tmp_path_factory):
+    """Regression (ADVICE r2): the all-empty-buckets fallback must not
+    scan data_dir — stray parquet left by a crashed writer (uncommitted
+    bucket dirs) would leak into the 'committed rows only' view."""
+    import os
+
+    t = SnapshotTable(str(tmp_path_factory.mktemp("emptyleak")))
+    df = spark.createDataFrame([], "image_id string, v int")
+    write_snapshotted(df, t, n_buckets=4, group_size=4)
+    # simulate a crashed writer: a data file on disk, never committed
+    stray = spark.createDataFrame([("zombie", 99)], "image_id string, v int")
+    stray.coalesce(1).write.parquet(os.path.join(t.data_dir, "bucket=0"))
+    got = t.read(spark)
+    assert got.count() == 0
+    assert {"image_id", "v"} <= set(got.columns)
+
+
+def test_compact_plain_layout_enables_upsert(spark, tmp_path_factory):
+    """compact_table(layout='plain') is the bridge from an
+    append-namespaced delta log to an upsertable table (ADVICE r2: the
+    namespace layout previously had NO path to upsert at all)."""
+    from batch_geocode_spark.snapshots import compact_table, upsert_snapshotted
+
+    t = SnapshotTable(str(tmp_path_factory.mktemp("ns2plain")))
+    for b in range(2):
+        df = spark.createDataFrame(
+            [(f"k{i}", b * 100 + i) for i in range(b * 10, b * 10 + 10)],
+            "image_id string, v int",
+        )
+        write_snapshotted(df, t, key_col="image_id", n_buckets=4, group_size=4,
+                          namespace=f"batch-{b}")
+    # namespaced layout rejects upsert with the compact hint
+    up = spark.createDataFrame([("k0", -1)], "image_id string, v int")
+    with pytest.raises(ValueError, match="compact_table"):
+        upsert_snapshotted(up, t, key_col="image_id", n_buckets=4)
+
+    compact_table(spark, t, key_col="image_id", n_buckets=4, layout="plain")
+    assert all("/" not in k for k in t.committed_buckets())
+    assert t.read(spark).count() == 20
+
+    upsert_snapshotted(up, t, key_col="image_id", n_buckets=4)
+    got = t.read(spark).toPandas().set_index("image_id")["v"]
+    assert got["k0"] == -1 and got["k5"] == 5 and len(got) == 20
+
+
+def test_write_snapshotted_single_derivation(spark, tmp_path_factory):
+    """The bucketed frame is checkpointed before the group-commit loop:
+    the upstream derivation must run ONCE, not once per group write +
+    once per group count (round-2 behavior: n_buckets/group_size full
+    rescans)."""
+    from pyspark.sql import functions as F
+
+    acc = spark.sparkContext.accumulator(0)
+
+    def derive(it):
+        for pdf in it:
+            acc.add(len(pdf))
+            yield pdf
+
+    base = spark.createDataFrame(
+        [(f"k{i}", i) for i in range(400)], "image_id string, v int"
+    ).repartition(4)
+    derived = base.mapInPandas(derive, schema="image_id string, v int")
+
+    t = SnapshotTable(str(tmp_path_factory.mktemp("oncederive")))
+    write_snapshotted(derived, t, key_col="image_id", n_buckets=8, group_size=2)
+    assert t.read(spark).count() == 400
+    assert acc.value == 400, f"derivation ran {acc.value / 400:.1f}x, expected once"

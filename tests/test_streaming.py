@@ -295,6 +295,26 @@ def test_stream_knn_matches_batch(spark, tmp_path_factory):
     assert got["dist_km"].tolist() == want["dist_km"].tolist()
 
 
+def test_stream_knn_replay_is_idempotent(spark, tmp_path_factory):
+    """Crash-replay contract (ADVICE r2): Structured Streaming re-runs
+    the last uncommitted batch after a restart; the kNN sink keys its
+    write by batch_id with dynamic partition overwrite, so delivering
+    the same batch twice must leave exactly one copy of its rows."""
+    out_dir = str(tmp_path_factory.mktemp("knn_replay")) + "/results"
+    images = datagen.images_to_spark(spark, 80, with_bytes=False)
+    gaz = datagen.gazetteer_to_spark(spark)
+
+    writer = streaming._knn_batch_writer(gaz, out_dir, k=3)
+    writer(images, 0)
+    once = spark.read.parquet(out_dir).count()
+    assert once > 0
+    writer(images, 0)  # replayed delivery of the same batch
+    assert spark.read.parquet(out_dir).count() == once
+    # a genuinely new batch still accumulates
+    writer(images.limit(10), 1)
+    assert spark.read.parquet(out_dir).count() > once
+
+
 def test_stream_exact_dedup_across_batches(spark, sf_dir, tmp_path_factory):
     """Stateful streaming dedup: a duplicate arriving in a LATER
     micro-batch (within the watermark) is dropped; batch fallback
