@@ -250,3 +250,40 @@ def admin_polygons_to_spark(spark, grid: int = 8):
         "bb_w double, bb_s double, bb_e double, bb_n double"
     )
     return spark.createDataFrame(make_admin_polygons(grid), schema=schema)
+
+
+def make_chain_docs(
+    n_chain: int,
+    n_independent: int = 0,
+    doc_len: int = 60,
+    stride: int = 5,
+    seed: int = 3,
+    hot_header: str = "",
+) -> pd.DataFrame:
+    """Adversarial near-dup corpus for the dedup backbone: the first
+    ``n_chain`` docs are a sliding window over ONE token stream, so
+    consecutive docs share (doc_len - stride) tokens — 4-gram Jaccard
+    ≈ 0.84 adjacent, ≈ 0.70 two apart. With threshold 0.75 the pair
+    graph is exactly a PATH of length n_chain: maximal component
+    diameter, the worst case for label-propagation clustering (and the
+    graph shape templated web text actually produces).
+    ``n_independent`` unrelated docs are appended; ``hot_header``
+    prepends a shared phrase to every doc (hot shingles, exercising
+    max_df pruning in the blocking step)."""
+    rng = np.random.default_rng(seed)
+    stream = [f"w{int(x)}" for x in rng.integers(0, 5000, n_chain * stride + doc_len)]
+    rows = []
+    for i in range(n_chain):
+        body = " ".join(stream[i * stride : i * stride + doc_len])
+        rows.append((i, (hot_header + " " + body).strip()))
+    for j in range(n_independent):
+        body = " ".join(
+            f"u{int(x)}" for x in rng.integers(0, 50_000, doc_len)
+        )
+        rows.append((n_chain + j, (hot_header + " " + body).strip()))
+    return pd.DataFrame(rows, columns=["doc_id", "text"])
+
+
+def chain_docs_to_spark(spark, n_chain: int, n_independent: int = 0, **kw):
+    pdf = make_chain_docs(n_chain, n_independent=n_independent, **kw)
+    return spark.createDataFrame(pdf, "doc_id long, text string")

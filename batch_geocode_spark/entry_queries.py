@@ -555,11 +555,18 @@ def d06_simhash_fingerprints(spark, sf_dir):
 
 
 def e02_cosine_near_dup(spark, sf_dir):
-    """Embedding near-duplicate pairs, exact (oracle-checkable)."""
+    """Embedding near-duplicate pairs, exact (oracle-checkable).
+    Strategy selection is free: the corpus size comes from parquet
+    footer metadata (zero Spark jobs), not a limit-probe count."""
     from batch_geocode_spark.operators import similarity as S
+    from batch_geocode_spark.sources import parquet_num_rows
 
     _views(spark, sf_dir)
-    return S.cosine_near_dup_pairs(spark.table("embeddings"), threshold=0.45)
+    return S.cosine_near_dup_pairs(
+        spark.table("embeddings"),
+        threshold=0.45,
+        approx_rows=parquet_num_rows(f"{sf_dir}/embeddings.parquet"),
+    )
 
 
 def e03_ann_topk(spark, sf_dir):
@@ -1131,6 +1138,35 @@ def q13_percentiles(spark, sf_dir):
             F.round(F.expr("percentile(o_totalprice, 0.9)"), 6).alias("p90"),
             F.round(F.expr("percentile(o_totalprice, 0.99)"), 6).alias("p99"),
             F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+def q13_percentiles_approx(spark, sf_dir, accuracy: int = 10_000):
+    """PRODUCTION percentile path: ``approx_percentile`` (a bounded-size
+    quantile sketch with map-side combine) instead of the exact
+    sort-based ``percentile`` aggregate, which buffers every group's
+    values and is a memory cliff at 10^12 rows per status. Error is
+    bounded by 1/accuracy in RANK space; the pytest pins the resulting
+    value error at sf0.01/sf0.1. Not oracle-registered: sketch results
+    are engine-specific by construction (DuckDB's approx_quantile is a
+    different t-digest) — q13_percentiles stays the exact, hash-checked
+    twin."""
+    _views(spark, sf_dir)
+    pct = f"approx_percentile(o_totalprice, array(0.5, 0.9, 0.99), {accuracy})"
+    return (
+        spark.table("orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.expr(pct).alias("pcts"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "o_orderstatus",
+            F.round(F.col("pcts")[0], 6).alias("p50"),
+            F.round(F.col("pcts")[1], 6).alias("p90"),
+            F.round(F.col("pcts")[2], 6).alias("p99"),
+            "n",
         )
     )
 

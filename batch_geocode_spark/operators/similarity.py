@@ -155,6 +155,7 @@ def cosine_near_dup_pairs(
     use_lsh: bool | None = None,
     dim: int = 64,
     auto_lsh_min_rows: int = 500_000,
+    approx_rows: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs (cosine ≥ threshold).
 
@@ -162,7 +163,10 @@ def cosine_near_dup_pairs(
     the corpus reaches ``auto_lsh_min_rows`` the LSH-blocked path is
     chosen automatically — the exact path materializes the corpus
     matrix on the driver and must never be the blind default at 10^8+
-    vectors. The probe is ``limit(n).count()`` so it stops scanning at
+    vectors. When the caller already knows the corpus size (parquet
+    footer metadata, catalog statistics), pass it as ``approx_rows``
+    and strategy selection costs ZERO Spark jobs; otherwise the
+    fallback probe is ``limit(n).count()``, which stops scanning at
     the threshold instead of counting the full table. Pass
     ``use_lsh=True/False`` to force a path.
 
@@ -174,7 +178,10 @@ def cosine_near_dup_pairs(
     path. ``use_lsh`` is the 10^12-scale variant: bucket-blocked
     candidates + exact verify, no global matrix anywhere."""
     if use_lsh is None:
-        use_lsh = vecs.limit(auto_lsh_min_rows).count() >= auto_lsh_min_rows
+        if approx_rows is not None:
+            use_lsh = approx_rows >= auto_lsh_min_rows
+        else:
+            use_lsh = vecs.limit(auto_lsh_min_rows).count() >= auto_lsh_min_rows
     if use_lsh:
         v = vecs.select("vec_id", _as_double(F.col("embedding")).alias("v")).withColumn(
             "n", _norm(F.col("v"))

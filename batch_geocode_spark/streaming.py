@@ -257,27 +257,92 @@ def ewma_cell_density(
     gazetteer: DataFrame,
     alpha: float = 0.5,
     res: int = 9,
+    api: str = "auto",
 ):
-    """CUSTOM stateful operator (applyInPandasWithState): per-cell
-    exponentially-decayed image density across micro-batches — an
-    evolving heatmap no built-in aggregation expresses (state carries
-    the EWMA between triggers).
+    """CUSTOM stateful operator: per-cell exponentially-decayed image
+    density across micro-batches — an evolving heatmap no built-in
+    aggregation expresses (state carries the EWMA between triggers).
 
     state per cell: (ewma, n_batches). Each trigger folds the batch
     count c in as ewma' = alpha*c + (1-alpha)*ewma. Emits the updated
     row per touched cell every trigger (update mode).
-    """
-    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    ``api='transformWithState'`` uses Spark 4's maintained stateful API
+    (transformWithStateInPandas over the RocksDB state store — state
+    spills to disk, the contract an unbounded keyspace needs). Its
+    Python side requires the ``protobuf`` package; ``api='auto'``
+    (default) picks it when protobuf is importable and otherwise falls
+    back to the legacy ``applyInPandasWithState`` GroupState path
+    (this container ships no protobuf — ENV-BLOCKED, the same honest
+    gate as the Excel/audio codecs). Both paths produce identical
+    output.
+    """
+    if api == "auto":
+        api = (
+            "transformWithState" if _has_protobuf() else "applyInPandasWithState"
+        )
     keyed = (
         images_stream.select("image_id", G.extract_loc_key(F.col("caption")).alias("loc_key"))
-        .join(F.broadcast(gazetteer.filter(F.col("api_rank") == 1)), 
+        .join(F.broadcast(gazetteer.filter(F.col("api_rank") == 1)),
               F.col("loc_key") == F.col("name_norm"), "inner")
         .select("image_id", cell_encode_col(res))
     )
 
     out_schema = "cell long, ewma double, n_batches int"
     state_schema = "ewma double, n_batches int"
+
+    if api == "transformWithState":
+        if not _has_protobuf():
+            raise NotImplementedError(
+                "transformWithStateInPandas requires the 'protobuf' package "
+                "(pyspark's state-server protocol), which is not installed in "
+                "this container; use api='applyInPandasWithState' (identical "
+                "semantics) or install protobuf"
+            )
+        import pandas as pd
+        from pyspark.sql.streaming.stateful_processor import (
+            StatefulProcessor,
+            StatefulProcessorHandle,
+        )
+
+        alpha_v = float(alpha)
+
+        class EwmaProcessor(StatefulProcessor):
+            def init(self, handle: StatefulProcessorHandle) -> None:
+                self._state = handle.getValueState("ewma_state", state_schema)
+
+            def handleInputRows(self, key, rows, timerValues):
+                count = sum(len(pdf) for pdf in rows)
+                if self._state.exists():
+                    ewma, n = self._state.get()
+                else:
+                    ewma, n = 0.0, 0
+                ewma = alpha_v * count + (1.0 - alpha_v) * ewma
+                n = int(n) + 1
+                self._state.update((float(ewma), n))
+                yield pd.DataFrame(
+                    {"cell": [key[0]], "ewma": [float(ewma)], "n_batches": [n]}
+                )
+
+            def close(self) -> None:
+                pass
+
+        # transformWithState requires the RocksDB state store provider
+        keyed.sparkSession.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+        return keyed.groupBy("cell").transformWithStateInPandas(
+            statefulProcessor=EwmaProcessor(),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="None",
+        )
+
+    if api != "applyInPandasWithState":
+        raise ValueError(f"unknown api {api!r}")
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def update(key, pdfs, state: GroupState):
         import pandas as pd
@@ -301,6 +366,15 @@ def ewma_cell_density(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def _has_protobuf() -> bool:
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
 
 
 def cell_encode_col(res: int):

@@ -38,6 +38,83 @@ HEADLINE = [
 ]
 
 
+def wait_for_quiet(max_load: float = 4.0, timeout_s: int = 120) -> float:
+    """This host carries EXTERNAL tenant load in multi-minute bursts
+    (1-min load 10-20 with zero local activity; 2-5× timing swings).
+    Gate each measurement on the load average the way
+    scripts/scaling_bench.py does, so BENCH_r* deltas reflect code, not
+    the neighbor. Bounded wait: the driver's bench run must terminate."""
+    t0 = time.time()
+    while True:
+        load = os.getloadavg()[0]
+        if load <= max_load or time.time() - t0 > timeout_s:
+            return load
+        time.sleep(10)
+
+
+def timed_best(action, attempts: int = 2, max_attempts: int = 4,
+               agree: float = 0.25) -> float:
+    """Load-gated adaptive best-of-N: start with ``attempts`` runs; if
+    the two fastest disagree by more than ``agree`` (a load burst hit
+    mid-attempt, which the pre-attempt gate can't see), keep measuring
+    up to ``max_attempts``. The min of agreeing runs is the honest
+    steady-state figure on a host with external tenant bursts."""
+    times: list[float] = []
+    while True:
+        wait_for_quiet()
+        t0 = time.perf_counter()
+        action()
+        times.append(time.perf_counter() - t0)
+        if len(times) >= attempts:
+            s = sorted(times)
+            if len(s) >= 2 and (s[1] - s[0]) / s[0] <= agree:
+                break
+            if len(times) >= max_attempts:
+                break
+    return min(times)
+
+
+def stress_chain_dedup(spark) -> dict:
+    """VERDICT r3 stress: the d04/d05/d07 backbone on an ADVERSARIAL
+    corpus — a 3000-deep near-dup chain (pair graph = one path, maximal
+    component diameter) + 2000 independents + a hot shared header
+    phrase in every doc. Times the full MinHash+LSH → exact verify →
+    alternating-star clustering pipeline and checks the clusters are
+    exactly right (one 3000-doc component, nothing else)."""
+    from batch_geocode_spark.datagen import chain_docs_to_spark
+    from batch_geocode_spark.operators import dedup as D
+
+    n_chain, n_ind = 3000, 2000
+    docs = chain_docs_to_spark(
+        spark, n_chain, n_independent=n_ind,
+        hot_header="shared corpus header boilerplate phrase",
+    ).repartition(32).cache()
+    docs.count()
+    t0 = time.perf_counter()
+    # 32 bands x 2 rows: a 3000-link chain at adjacent jaccard ~0.77
+    # needs per-pair detection ~1 - 3e-13 (16x4 banding misses ~3 links
+    # and splits the chain); the extra candidates are absorbed by the
+    # exact-verify step
+    pairs = D.minhash_lsh_pairs(docs, n=4, threshold=0.75, bands=32)
+    clusters = D.dedup_clusters(pairs).collect()
+    dt = time.perf_counter() - t0
+    docs.unpersist()
+    comp_sizes = sorted((r["n_docs"] for r in clusters), reverse=True)
+    ok = (
+        len(clusters) == 1
+        and comp_sizes[0] == n_chain
+        and clusters[0]["keep_doc_id"] == 0
+    )
+    return {
+        "chain_dedup_sec": round(dt, 3),
+        "n_docs": n_chain + n_ind,
+        "chain_depth": n_chain,
+        "n_clusters": len(clusters),
+        "largest_cluster": comp_sizes[0] if comp_sizes else 0,
+        "clusters_correct": bool(ok),
+    }
+
+
 def run(sf_dir: str, cpus: str) -> dict:
     spark = get_spark(master=f"local[{cpus}]", app_name="bench")
     # warm the JVM (codegen, broadcast machinery, parquet footers) and the
@@ -47,28 +124,16 @@ def run(sf_dir: str, cpus: str) -> dict:
     EQ.g03_cell_assign(spark, sf_dir).count()
     EQ.g05_admin_pip(spark, sf_dir).count()  # spins up the 32 Arrow workers
 
-    # best-of-2 per query: this host occasionally stalls ~100s on GC /
-    # external load; the min is the honest steady-state figure
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = EQ.QUERIES[name]
-        best = None
-        for _ in range(2):
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).count()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
+        timings[name] = round(timed_best(lambda: fn(spark, sf_dir).count()), 3)
 
     # flagship throughput: images/sec through geocode → cell → density
-    # (best-of-2, same stall rationale as above)
     n_images = spark.sql(EQ.IMAGES_SQL).count()
-    flagship_sec = None
-    for _ in range(2):
-        t0 = time.perf_counter()
-        EQ.g04_tile_density(spark, sf_dir).collect()
-        dt = time.perf_counter() - t0
-        flagship_sec = dt if flagship_sec is None else min(flagship_sec, dt)
+    flagship_sec = timed_best(lambda: EQ.g04_tile_density(spark, sf_dir).collect())
+
+    stress = stress_chain_dedup(spark)
     spark.stop()
 
     total = round(sum(timings.values()), 3)
@@ -83,6 +148,7 @@ def run(sf_dir: str, cpus: str) -> dict:
         "flagship_sec": round(flagship_sec, 3),
         "images_per_sec": round(n_images / flagship_sec, 1),
         "cpus": int(cpus),
+        "stress": stress,
     }
 
 

@@ -122,9 +122,23 @@ def test_sessionize_matches_pandas_oracle(spark, sf_dir):
     assert g["n_events"].tolist() == w["n_events"].tolist()
 
 
-def test_ewma_cell_density_stateful(spark, tmp_path_factory):
-    """applyInPandasWithState across two micro-batches: the second batch
-    must see the first batch's state (n_batches == 2, decayed EWMA)."""
+@pytest.mark.parametrize("api", ["auto", "transformWithState", "applyInPandasWithState"])
+def test_ewma_cell_density_stateful(spark, tmp_path_factory, api):
+    """Custom stateful op across two micro-batches: the second batch
+    must see the first batch's state (n_batches == 2, decayed EWMA).
+    Runs on the maintained transformWithState API (RocksDB state store)
+    when protobuf is available, the legacy GroupState path, and the
+    auto selector — identical semantics. When protobuf is absent
+    (this container), forcing transformWithState must raise the honest
+    env-blocked NotImplementedError, and 'auto' falls back."""
+    if api == "transformWithState" and not streaming._has_protobuf():
+        gaz = datagen.gazetteer_to_spark(spark)
+        stream = spark.readStream.schema(streaming.IMAGES_SCHEMA).parquet(
+            str(tmp_path_factory.mktemp("ewma_na"))
+        )
+        with pytest.raises(NotImplementedError, match="protobuf"):
+            streaming.ewma_cell_density(stream, gaz, api=api)
+        return
     in_dir = str(tmp_path_factory.mktemp("ewma_in"))
     ckpt = str(tmp_path_factory.mktemp("ewma_ckpt"))
     images = datagen.images_to_spark(spark, 120, with_bytes=False)
@@ -136,17 +150,18 @@ def test_ewma_cell_density_stateful(spark, tmp_path_factory):
     stream = spark.readStream.schema(streaming.IMAGES_SCHEMA).option(
         "maxFilesPerTrigger", 1
     ).parquet(in_dir)
-    out = streaming.ewma_cell_density(stream, gaz, alpha=0.5, res=6)
+    out = streaming.ewma_cell_density(stream, gaz, alpha=0.5, res=6, api=api)
+    name = f"ewma_{api[:9].lower()}"
     q = (
         out.writeStream.format("memory")
-        .queryName("ewma")
+        .queryName(name)
         .outputMode("update")
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination(300)
-    got = spark.table("ewma").toPandas()
+    got = spark.table(name).toPandas()
     assert (got["n_batches"] >= 1).any()
     # rows from the second trigger prove cross-batch state
     second = got[got["n_batches"] == 2]
