@@ -1257,6 +1257,33 @@ ORACLES["g13_density_rollup"] = _oracle_geo(
 )
 
 
+def g14_tile_pyramid(spark, sf_dir):
+    """A7 multi-resolution tile pyramid: base res-9 density plus CHAINED
+    rollups at res 6 and 3 in one long table — every zoom level
+    pre-aggregated, mass conserved level-to-level. Spark computes the
+    coarser levels by parent-id arithmetic on the previous level; the
+    oracle encodes each level DIRECTLY from the points, which must
+    agree because floor-division composes across the quadtree."""
+    from batch_geocode_spark.operators import tiles as T
+
+    _, best = _geocoded(spark, sf_dir)
+    dens = T.cell_density(best, res=TILE_RES)
+    return R.tile_pyramid(dens, levels=(TILE_RES, 6, 3))
+
+
+QUERIES["g14_tile_pyramid"] = g14_tile_pyramid
+ORACLES["g14_tile_pyramid"] = _oracle_geo(
+    "\n    UNION ALL\n".join(
+        f"""
+    SELECT {r} AS res, {cell_encode_sql('best_lat', 'best_long', r)} AS cell,
+           COUNT(*) AS n_images
+    FROM best GROUP BY 1, 2
+    """
+        for r in (TILE_RES, 6, 3)
+    )
+)
+
+
 def q14_cube(spark, sf_dir):
     """CUBE aggregate (all grouping-set combinations) — completes the
     grouping-sets family next to q08's ROLLUP."""

@@ -47,3 +47,32 @@ def density_rollup(density: DataFrame, res: int, parent_res: int) -> DataFrame:
         .groupBy("parent")
         .agg(F.sum("n_images").alias("n_images"))
     )
+
+
+def tile_pyramid(density: DataFrame, levels: tuple[int, ...] = (9, 6, 3)) -> DataFrame:
+    """Multi-resolution tile pyramid: the base per-cell density at
+    ``levels[0]`` plus CHAINED rollups at each coarser level, unioned
+    into one (res, cell, n_images) table — the map-tile serving layout
+    (every zoom level pre-aggregated, mass conserved level-to-level).
+
+    Scale shape: the expensive aggregation (points → base cells)
+    happens once; each coarser level re-aggregates the PREVIOUS level's
+    output (|cells| rows, shrinking 4× per step in the quadtree), never
+    the points. The union legs share the base exchange (ReuseExchange);
+    per-level frames stay distinct-schema-free (same 3 columns) so the
+    result is one partition-friendly long table keyed by (res, cell).
+    """
+    if sorted(levels, reverse=True) != list(levels):
+        raise ValueError(f"levels must be strictly decreasing, got {levels}")
+    base_res = levels[0]
+    cur = density.select("cell", "n_images")
+    legs = [cur.withColumn("res", F.lit(base_res))]
+    prev_res = base_res
+    for r in levels[1:]:
+        cur = density_rollup(cur, prev_res, r).withColumnsRenamed({"parent": "cell"})
+        legs.append(cur.withColumn("res", F.lit(r)))
+        prev_res = r
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out.select("res", "cell", "n_images")

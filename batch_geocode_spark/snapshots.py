@@ -261,6 +261,7 @@ def upsert_snapshotted(
     key_col: str = "image_id",
     n_buckets: int = 32,
     job_id: str | None = None,
+    tombstone_col: str | None = None,
 ) -> dict:
     """Keyed upsert (MERGE INTO analog) with BUCKET PRUNING: only the
     buckets that contain an incoming key are read, merged (incoming row
@@ -270,7 +271,13 @@ def upsert_snapshotted(
     delta logs; run ``compact_table(..., layout='plain')`` first — the
     namespace→plain rewrite that makes a table upsertable).
     ``n_buckets`` must match the value the table was written with — it
-    is validated against the manifest."""
+    is validated against the manifest.
+
+    ``tombstone_col`` enables MERGE-style DELETE: incoming rows whose
+    (boolean) tombstone is true remove that key from the table instead
+    of inserting; the column itself never lands in storage. Deleting a
+    key that does not exist is a no-op — the full WHEN MATCHED THEN
+    DELETE contract, still bucket-pruned."""
     spark = df.sparkSession
     job_id = job_id or f"upsert-{uuid.uuid4().hex[:8]}"
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -288,17 +295,22 @@ def upsert_snapshotted(
                 f"table was written with n_buckets={manifest_n}, got {n_buckets}"
             )
 
+    touched_keys = df.select(key_col).distinct()
+    if tombstone_col is not None:
+        flag = F.coalesce(F.col(tombstone_col).cast("boolean"), F.lit(False))
+        df = df.filter(~flag).drop(tombstone_col)
     incoming = df.withColumn("bucket", bucket_expr(key_col, n_buckets))
     affected = sorted(
-        int(r["bucket"]) for r in incoming.select("bucket").distinct().collect()
+        int(r["bucket"])
+        for r in touched_keys.select(bucket_expr(key_col, n_buckets).alias("bucket"))
+        .distinct()
+        .collect()
     )
     if cur is None:
         merged = incoming
     else:
         old = table.read(spark).filter(F.col("bucket").isin(affected))
-        keep = old.join(
-            incoming.select(key_col).distinct(), key_col, "left_anti"
-        )
+        keep = old.join(touched_keys, key_col, "left_anti")
         merged = keep.select(*incoming.columns).unionByName(incoming)
     # materialize BEFORE overwriting: the merge plan reads the very
     # bucket directories the write replaces (classic self-overwrite

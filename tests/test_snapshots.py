@@ -283,3 +283,66 @@ def test_write_snapshotted_single_derivation(spark, tmp_path_factory):
     write_snapshotted(derived, t, key_col="image_id", n_buckets=8, group_size=2)
     assert t.read(spark).count() == 400
     assert acc.value == 400, f"derivation ran {acc.value / 400:.1f}x, expected once"
+
+
+def test_upsert_tombstone_delete(spark, tmp_path_factory):
+    """MERGE-style DELETE: tombstoned keys are removed (bucket-pruned),
+    deleting a missing key is a no-op, and the tombstone column never
+    lands in storage."""
+    from pyspark.sql import functions as F
+
+    from batch_geocode_spark.snapshots import upsert_snapshotted
+
+    t = SnapshotTable(str(tmp_path_factory.mktemp("tomb")))
+    base = spark.createDataFrame(
+        [(f"k{i}", i) for i in range(100)], "image_id string, v int"
+    )
+    write_snapshotted(base, t, key_col="image_id", n_buckets=8, group_size=8)
+
+    mixed = spark.createDataFrame(
+        [
+            ("k0", 0, True),      # delete existing
+            ("k1", 1111, False),  # update
+            ("new1", 2000, False),  # insert
+            ("ghost", 0, True),   # delete missing -> no-op
+        ],
+        "image_id string, v int, deleted boolean",
+    )
+    snap = upsert_snapshotted(
+        mixed, t, key_col="image_id", n_buckets=8, tombstone_col="deleted"
+    )
+    got = t.read(spark).toPandas().set_index("image_id")["v"]
+    assert "k0" not in got.index and "ghost" not in got.index
+    assert got["k1"] == 1111 and got["new1"] == 2000 and got["k5"] == 5
+    assert len(got) == 100  # 100 - 1 deleted + 1 inserted
+    assert snap["total_rows"] == 100
+    assert "deleted" not in t.read(spark).columns
+
+
+def test_tile_pyramid_snapshot_mass_conservation(spark, best_df, tmp_path_factory):
+    """VERDICT r2 optional item: chain density_rollup 9->6->3 into ONE
+    snapshotted pyramid table; per-level mass must equal the base."""
+    from pyspark.sql import functions as F
+
+    from batch_geocode_spark.operators import rollups as R
+    from batch_geocode_spark.operators import tiles as T
+
+    dens = T.cell_density(best_df, res=9)
+    pyr = R.tile_pyramid(dens, levels=(9, 6, 3))
+    t = SnapshotTable(str(tmp_path_factory.mktemp("pyramid")))
+    write_snapshotted(
+        pyr.withColumn("key", F.concat_ws(":", "res", "cell")),
+        t, key_col="key", n_buckets=8, group_size=8,
+    )
+    got = (
+        t.read(spark).groupBy("res").agg(F.sum("n_images").alias("mass"))
+        .toPandas().set_index("res")["mass"]
+    )
+    base_mass = best_df.count()
+    assert set(got.index) == {9, 6, 3}
+    assert all(got[r] == base_mass for r in (9, 6, 3))
+    # finer level has at least as many distinct tiles
+    n_cells = (
+        t.read(spark).groupBy("res").count().toPandas().set_index("res")["count"]
+    )
+    assert n_cells[9] >= n_cells[6] >= n_cells[3]
