@@ -78,6 +78,12 @@ def get_spark(
             "spark.driver.extraJavaOptions",
             os.environ.get("SPARK_DRIVER_JAVA_OPTS", "-XX:+UseParallelGC"),
         )
+        # executor JVMs (local-cluster / real clusters) need the same GC
+        # choice — in local[*] mode this conf is simply unused
+        .config(
+            "spark.executor.extraJavaOptions",
+            os.environ.get("SPARK_EXECUTOR_JAVA_OPTS", "-XX:+UseParallelGC"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # this sandbox's virtual disk is slow and does not scale with
@@ -85,6 +91,21 @@ def get_spark(
         # NVMe a real cluster provides (override with SPARK_LOCAL_DIRS;
         # falls back to the system temp dir when /dev/shm is absent/small)
         .config("spark.local.dir", _default_local_dir())
+        # multi-executor mode (local-cluster / standalone): executor
+        # Python workers don't inherit the driver's sys.path, so ship
+        # the package location the same way spark-submit --py-files
+        # would. A no-op under local[*] (workers share the driver env).
+        .config(
+            "spark.executorEnv.PYTHONPATH",
+            os.pathsep.join(
+                p
+                for p in [
+                    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                    os.environ.get("PYTHONPATH", ""),
+                ]
+                if p
+            ),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

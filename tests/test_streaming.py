@@ -365,3 +365,40 @@ def test_stream_exact_dedup_across_batches(spark, sf_dir, tmp_path_factory):
     both = spark.read.parquet(in_dir)
     batch = streaming.stream_exact_dedup(both, ["event_id"])
     assert batch.count() == 25
+
+
+def test_read_density_pyramid_over_streamed_deltas(spark, tmp_path_factory):
+    """Streaming pyramid maintenance: per-batch density deltas folded to
+    totals then rolled up — every level's mass equals the number of
+    geocoded images across ALL batches, and matches the batch pyramid."""
+    from batch_geocode_spark.operators import rollups as R
+    from batch_geocode_spark.operators import tiles as T
+
+    in_dir = str(tmp_path_factory.mktemp("pyr_in"))
+    ckpt = str(tmp_path_factory.mktemp("pyr_ckpt"))
+    table = SnapshotTable(str(tmp_path_factory.mktemp("pyr_snap")))
+    images = datagen.images_to_spark(spark, 200, with_bytes=False)
+    images.filter(F.col("image_id") < "img000000000100").coalesce(1).write.mode(
+        "append").parquet(in_dir)
+    images.filter(F.col("image_id") >= "img000000000100").coalesce(1).write.mode(
+        "append").parquet(in_dir)
+
+    gaz = datagen.gazetteer_to_spark(spark)
+    q = streaming.stream_geocode_to_snapshots(
+        spark, in_dir, gaz, table, ckpt, res=9, available_now=True,
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(300)
+
+    got = (
+        streaming.read_density_pyramid(spark, table, levels=(9, 6, 3))
+        .toPandas().sort_values(["res", "cell"]).reset_index(drop=True)
+    )
+    _, best = G.geocode_images(images, gaz)
+    want = (
+        R.tile_pyramid(T.cell_density(best, res=9), levels=(9, 6, 3))
+        .toPandas().sort_values(["res", "cell"]).reset_index(drop=True)
+    )
+    assert got.equals(want)
+    n_best = best.count()
+    assert all(got[got["res"] == r]["n_images"].sum() == n_best for r in (9, 6, 3))
