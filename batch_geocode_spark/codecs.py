@@ -109,6 +109,75 @@ def decode_dctq(buf: bytes) -> np.ndarray:
     return np.ascontiguousarray(chans.astype(np.uint8).transpose(1, 2, 0))
 
 
+# ---------------------------------------------------------------- batched
+def _chunk_size(per_image_bytes: int, budget: int = 400_000) -> int:
+    """Images per batched-kernel chunk: big enough to amortize numpy
+    dispatch (the dominant cost for 16-64px images — one dispatch per
+    CHUNK instead of per image), small enough that the chunk's float32
+    working set stays cache-resident WITH EVERY CORE RUNNING A WORKER.
+    A whole-group batch is DRAM-bound (measured 4× SLOWER than
+    per-image at 666×48×64: ~250MB intermediates stream ~6 times), and
+    even 2MB chunks regress the 32-worker level (32×~8MB in flight ≫
+    shared L3) while helping the 8-worker level — the budget must be
+    sized for the per-core L2/L3 slice, not the whole cache."""
+    return max(8, min(256, budget // max(per_image_bytes, 1)))
+
+
+def decode_dctq_batch(raws: list[np.ndarray], h: int, w: int, c: int) -> np.ndarray:
+    """Decode a GROUP of same-shape DCTQ payloads with a CHUNKED fused
+    kernel: per-image (c, by, bx, 8, 8) coefficient tensors stack into
+    (B_chunk, c, by, bx, 8, 8) arrays and each chunk runs through one
+    matmul pair. Values are bit-identical to :func:`decode_dctq` (same
+    dtypes, same per-8×8-block accumulation order). ``raws`` are the
+    already-decompressed int16 coefficient vectors."""
+    ph, pw = h + ((-h) % _DCT_N), w + ((-w) % _DCT_N)
+    out = np.empty((len(raws), h, w, c), dtype=np.uint8)
+    step = _chunk_size(c * ph * pw * 4)
+    for s in range(0, len(raws), step):
+        raw = np.stack(raws[s : s + step])
+        b = raw.shape[0]
+        coeffs = raw.reshape(b, c, ph // _DCT_N, pw // _DCT_N, _DCT_N, _DCT_N).astype(
+            np.float32
+        )
+        coeffs *= _Q
+        blocks = _D.T @ coeffs @ _D
+        chans = blocks.transpose(0, 1, 2, 4, 3, 5).reshape(b, c, ph, pw)[:, :, :h, :w]
+        chans = chans + np.float32(128.0)
+        np.rint(chans, out=chans)
+        np.clip(chans, 0, 255, out=chans)
+        out[s : s + step] = chans.astype(np.uint8).transpose(0, 2, 3, 1)
+    return out
+
+
+def average_hash_batch(imgs: np.ndarray) -> np.ndarray:
+    """Vectorized :func:`average_hash` over a (B, h, w, 3) uint8 stack
+    with h, w multiples of 8 (the general-dims fallback stays per-image
+    in the caller). Same exact integer arithmetic — block_sum * 64 >
+    total_sum — so values match the scalar path bit for bit."""
+    b, h, w = imgs.shape[:3]
+    # 3-slice uint16 add is ~15× faster than sum(axis=3, dtype=int64)
+    # (numpy's promoted last-axis reduction is element-at-a-time);
+    # channel sums ≤ 765 fit uint16 exactly
+    gray = imgs[..., 0].astype(np.uint16)
+    gray += imgs[..., 1]
+    gray += imgs[..., 2]
+    small = gray.reshape(b, 8, h // 8, 8, w // 8).sum(axis=(2, 4), dtype=np.int64)
+    bits = small * 64 > small.sum(axis=(1, 2))[:, None, None]
+    packed = np.packbits(bits.reshape(b, 64), axis=1)  # (B, 8) big-endian bytes
+    shifts = (np.arange(7, -1, -1, dtype=np.uint64) * np.uint64(8))
+    vals = np.bitwise_or.reduce(packed.astype(np.uint64) << shifts, axis=1)
+    return vals.view(np.int64)
+
+
+def hamming64_batch(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Per-row popcount of xor over two int64 arrays (numpy 1.x has no
+    bitwise_count; unpackbits over the byte view is one pass)."""
+    x = (a.astype(np.int64) ^ b.astype(np.int64)).view(np.uint64)
+    return np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=1).sum(
+        axis=1, dtype=np.int32
+    )
+
+
 # ------------------------------------------------------------------- PGM16
 def encode_pgm16(grid: np.ndarray) -> bytes:
     """Lossless 16-bit big-endian binary PGM (P5, maxval 65535) — a real

@@ -32,40 +32,114 @@ from batch_geocode_spark import codecs
 def validate_images(images: DataFrame) -> DataFrame:
     """Decode every image, recompute the perceptual hash, and report
     integrity: (image_id, fmt, decode_ok, dims_ok, phash_match,
-    phash_hamming, mean_px). The input_hint integrity check."""
+    phash_hamming, mean_px). The input_hint integrity check.
+
+    BATCHED kernel: rows in each Arrow batch are grouped by
+    (fmt, payload dims) and each group decodes + phashes in one fused
+    numpy pass (``decode_dctq_batch`` / ``average_hash_batch``) —
+    per-image Python/numpy dispatch was the dominant CPU cost for
+    16-64px images. Malformed payloads and odd shapes fall back to the
+    per-row scalar path; values are bit-identical either way."""
+    import struct
+    import zlib
+
+    def scalar_row(buf, fmt, w, h, phash):
+        try:
+            img = codecs.decode_image(buf, fmt)
+            ph = codecs.average_hash(img)
+            ham = bin((ph ^ phash) & (2**64 - 1)).count("1")
+            return (
+                True,
+                img.shape[0] == h and img.shape[1] == w,
+                ph == phash,
+                ham,
+                float(img.mean()),
+            )
+        except Exception:  # noqa: BLE001 — malformed payloads become rows
+            return (False, False, False, 64, None)
 
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            rows = []
-            for r in pdf.itertuples():
+            n = len(pdf)
+            decode_ok = np.zeros(n, dtype=bool)
+            dims_ok = np.zeros(n, dtype=bool)
+            phash_match = np.zeros(n, dtype=bool)
+            hamming = np.full(n, 64, dtype=np.int32)
+            mean_px: list = [None] * n
+            meta_w = pdf["w"].to_numpy(np.int64)
+            meta_h = pdf["h"].to_numpy(np.int64)
+            want_ph = pdf["phash"].to_numpy(np.int64)
+            bufs = pdf["bytes"].to_numpy(object)
+            fmts = pdf["fmt"].to_numpy(object)
+
+            # group rows by (fmt, payload dims); parse failures → scalar
+            groups: dict[tuple, tuple[list[int], list]] = {}
+            fallback: list[int] = []
+            for i in range(n):
+                buf, fmt = bufs[i], fmts[i]
                 try:
-                    img = codecs.decode_image(r.bytes, r.fmt)
-                    ph = codecs.average_hash(img)
-                    ham = bin((ph ^ r.phash) & (2**64 - 1)).count("1")
-                    rows.append(
-                        (
-                            r.image_id,
-                            r.fmt,
-                            True,
-                            img.shape[0] == r.h and img.shape[1] == r.w,
-                            ph == r.phash,
-                            ham,
-                            float(img.mean()),
+                    if fmt == "dctq" and buf[:4] == b"DCTQ":
+                        h, w, c = struct.unpack("<HHB", bytes(buf[4:9]))
+                        raw = np.frombuffer(
+                            zlib.decompress(bytes(buf[9:])), dtype=np.int16
                         )
-                    )
-                except Exception:  # noqa: BLE001 — malformed payloads become rows
-                    rows.append((r.image_id, r.fmt, False, False, False, 64, None))
+                        ph_, pw_ = h + ((-h) % 8), w + ((-w) % 8)
+                        if len(raw) != c * ph_ * pw_:
+                            raise ValueError("truncated DCTQ payload")
+                        key = ("dctq", h, w, c)
+                        groups.setdefault(key, ([], []))[0].append(i)
+                        groups[key][1].append(raw)
+                    elif fmt == "ppm" and buf[:2] == b"P6":
+                        img = codecs.decode_ppm(bytes(buf))
+                        key = ("ppm",) + img.shape
+                        groups.setdefault(key, ([], []))[0].append(i)
+                        groups[key][1].append(img)
+                    else:
+                        raise ValueError("unknown payload")
+                except Exception:  # noqa: BLE001
+                    fallback.append(i)
+
+            for key, (idx, payloads) in groups.items():
+                fmt, h, w = key[0], key[1], key[2]
+                if key[0] == "dctq":
+                    c = key[3]
+                    if c != 3 or h % 8 or w % 8:
+                        fallback.extend(idx)
+                        continue
+                    imgs = codecs.decode_dctq_batch(payloads, h, w, c)
+                else:
+                    if len(key) != 4 or key[3] != 3 or h % 8 or w % 8:
+                        fallback.extend(idx)
+                        continue
+                    imgs = np.stack(payloads)
+                ii = np.asarray(idx)
+                got_ph = codecs.average_hash_batch(imgs)
+                decode_ok[ii] = True
+                dims_ok[ii] = (meta_h[ii] == h) & (meta_w[ii] == w)
+                phash_match[ii] = got_ph == want_ph[ii]
+                hamming[ii] = codecs.hamming64_batch(got_ph, want_ph[ii])
+                means = imgs.mean(axis=(1, 2, 3))
+                for j, m in zip(idx, means):
+                    mean_px[j] = float(m)
+
+            for i in fallback:
+                ok, dok, pm, ham, mp = scalar_row(
+                    bufs[i], fmts[i], int(meta_w[i]), int(meta_h[i]), int(want_ph[i])
+                )
+                decode_ok[i], dims_ok[i], phash_match[i] = ok, dok, pm
+                hamming[i] = ham
+                mean_px[i] = mp
+
             yield pd.DataFrame(
-                rows,
-                columns=[
-                    "image_id",
-                    "fmt",
-                    "decode_ok",
-                    "dims_ok",
-                    "phash_match",
-                    "phash_hamming",
-                    "mean_px",
-                ],
+                {
+                    "image_id": pdf["image_id"].to_numpy(object),
+                    "fmt": fmts,
+                    "decode_ok": decode_ok,
+                    "dims_ok": dims_ok,
+                    "phash_match": phash_match,
+                    "phash_hamming": hamming,
+                    "mean_px": pd.array(mean_px, dtype="Float64"),
+                }
             )
 
     schema = (

@@ -105,3 +105,44 @@ def test_image_near_dup_pairs_via_phash(spark):
     pairs = {(r.image_a, r.image_b) for r in got.itertuples()}
     assert (1, 2) in pairs
     assert not any(3 in p for p in pairs)
+
+
+def test_validate_images_batch_equals_scalar(spark):
+    """The grouped batch kernel (round 3) must reproduce the per-row
+    scalar path bit for bit — including malformed payloads dropping to
+    the fallback with decode_ok=False and a null mean."""
+    import pandas as pd
+
+    pdf = datagen.make_images(40, with_bytes=True)
+    # corrupt rows: truncated dctq, garbage ppm, unknown fmt
+    bad = pd.DataFrame(
+        {
+            "image_id": ["bad1", "bad2", "bad3"],
+            "bytes": [b"DCTQ" + b"\x00" * 5, b"P6\nnot really", b"????"],
+            "w": [16, 16, 16],
+            "h": [16, 16, 16],
+            "fmt": ["dctq", "ppm", "dctq"],
+            "caption": ["x", "y", "z"],
+            "phash": [0, 0, 0],
+        }
+    )
+    full = pd.concat([pdf, bad], ignore_index=True)
+    df = spark.createDataFrame(
+        full,
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "caption string, phash long",
+    )
+    got = MM.validate_images(df).toPandas().set_index("image_id")
+    for r in full.itertuples():
+        row = got.loc[r.image_id]
+        try:
+            img = codecs.decode_image(r.bytes, r.fmt)
+            ph = codecs.average_hash(img)
+            assert bool(row["decode_ok"])
+            assert bool(row["phash_match"]) == (ph == r.phash)
+            assert int(row["phash_hamming"]) == bin((ph ^ r.phash) & (2**64 - 1)).count("1")
+            assert row["mean_px"] == pytest.approx(float(img.mean()), rel=1e-12)
+        except Exception:
+            assert not bool(row["decode_ok"])
+            assert int(row["phash_hamming"]) == 64
+            assert row["mean_px"] is None or row["mean_px"] != row["mean_px"]
