@@ -1518,3 +1518,41 @@ def e04_ivf_topk(spark, sf_dir):
 
 
 QUERIES["e04_ivf_topk"] = e04_ivf_topk
+
+
+def d09_decontamination(spark, sf_dir):
+    """Test-set decontamination (training-data hygiene, VERDICT r3 #5):
+    flag corpus docs sharing ANY word 8-gram with a held-out eval slice
+    (deterministic split: doc_id % 7 == 0 → eval). The eval shingle
+    set broadcasts; the corpus side streams shingle-exploded through
+    the broadcast join — the shape that works when the corpus is 100 TB
+    and the eval set is a benchmark suite."""
+    from batch_geocode_spark.operators import dedup as D
+
+    _views(spark, sf_dir)
+    docs = spark.table("documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    eval_docs = docs.filter(F.col("doc_id") % 7 == 0)
+    corpus = docs.filter(F.col("doc_id") % 7 != 0)
+    return D.decontamination_flags(corpus, eval_docs, n=_D09_N)
+
+
+_D09_N = 8
+_d09_terms = ", ".join(f"t[i+{j}]" for j in range(_D09_N))
+QUERIES["d09_decontamination"] = d09_decontamination
+ORACLES["d09_decontamination"] = rf"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+    sh AS (SELECT DISTINCT doc_id, shingle FROM (
+      SELECT doc_id, unnest(list_transform(range(1, greatest(len(t) - {_D09_N - 2}, 1)),
+        i -> concat_ws(' ', {_d09_terms}))) AS shingle
+      FROM toks)),
+    ev AS (SELECT shingle, doc_id AS eval_doc_id FROM sh WHERE doc_id % 7 = 0),
+    co AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 7 <> 0),
+    hits AS (SELECT co.doc_id, co.shingle, ev.eval_doc_id
+             FROM co JOIN ev USING (shingle))
+    SELECT doc_id, COUNT(DISTINCT shingle) AS n_shared_shingles,
+           COUNT(DISTINCT eval_doc_id) AS n_eval_docs
+    FROM hits GROUP BY doc_id
+"""

@@ -136,6 +136,31 @@ def np_cell_neighbors(cell_id: int):
     return np.asarray(sorted(set(out)), dtype=np.int64)
 
 
+def np_cell_ring_batch(cells, res: int) -> np.ndarray:
+    """Vectorized 9-cell neighborhood (8-ring + center) for a WHOLE batch
+    of same-resolution cell ids: returns an (n_cells, 9) int64 matrix,
+    lng wraps, lat clamps — out-of-range entries are -1 (filter them
+    after explode). The ring of a quadtree cell is pure arithmetic, so
+    the batch version is 9 shifted copies of the (x, y) arrays — no
+    Python-level per-cell work (this replaces a per-row
+    ``np_cell_neighbors`` loop inside a pandas_udf, VERDICT r3)."""
+    cells = np.asarray(cells, dtype=np.int64)
+    _, x, y = np_cell_decode(cells)
+    n = 2**res
+    dy = np.array([-1, -1, -1, 0, 0, 0, 1, 1, 1], dtype=np.int64)
+    dx = np.array([-1, 0, 1, -1, 0, 1, -1, 0, 1], dtype=np.int64)
+    yy = y[:, None] + dy[None, :]
+    xx = (x[:, None] + dx[None, :]) % n
+    out = res * _RES_SHIFT + yy * _Y_SHIFT + xx
+    out[(yy < 0) | (yy >= n)] = -1
+    if n < 3:
+        # degenerate grids (res < 2): lng wrap makes columns collide;
+        # sort each row and blank exact repeats so explode stays a set
+        out.sort(axis=1)
+        out[:, 1:][out[:, 1:] == out[:, :-1]] = -1
+    return out
+
+
 def np_polyfill_bbox(w: float, s: float, e: float, n: float, res: int):
     """All cells at ``res`` intersecting the bbox (vectorized meshgrid)."""
     w, s, e, n = float(w), float(s), float(e), float(n)

@@ -114,6 +114,41 @@ def ngram_jaccard_pairs(
     return out
 
 
+def decontamination_flags(
+    corpus: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Test-set decontamination: flag corpus docs sharing ANY word
+    n-gram with an eval/benchmark set — the classic training-data
+    hygiene pass (eval n-gram overlap ⇒ the doc leaks the benchmark).
+
+    Returns one row per CONTAMINATED corpus doc:
+    (doc_id, n_shared_shingles, n_eval_docs) — how many distinct
+    n-grams it shares with the eval set and how many eval docs those
+    n-grams touch.
+
+    Scale shape: the eval set is tiny relative to a 100 TB corpus, so
+    its distinct (shingle, eval_doc) table is the BROADCAST side; the
+    corpus side streams shingle-exploded through a broadcast hash join
+    and aggregates per doc — no corpus-side shuffle before the (small,
+    post-filter) per-doc agg. ``broadcast_eval=False`` falls back to a
+    shuffle join for eval sets too big to broadcast (rare)."""
+    corpus_sh = word_shingles(corpus, n=n, text_col=text_col)
+    eval_sh = word_shingles(eval_docs, n=n, text_col=text_col).select(
+        "shingle", F.col("doc_id").alias("eval_doc_id")
+    )
+    if broadcast_eval:
+        eval_sh = F.broadcast(eval_sh)
+    hits = corpus_sh.join(eval_sh, "shingle")
+    return hits.groupBy("doc_id").agg(
+        F.countDistinct("shingle").alias("n_shared_shingles"),
+        F.countDistinct("eval_doc_id").alias("n_eval_docs"),
+    )
+
+
 # ------------------------------------------------------------ MinHash + LSH
 def _perm_params(num_perm: int, seed: int = 42) -> tuple[list[int], list[int]]:
     rng = np.random.default_rng(seed)
@@ -196,25 +231,38 @@ def minhash_lsh_pairs(
     seed: int = 42,
     cache_shingles: bool = True,
     base_hash: str = "xxhash64",
+    eager: bool = True,
 ) -> DataFrame:
     """Candidate pairs from banded MinHash signatures, then EXACT Jaccard
     verification — the approximate step only generates candidates, never
     final answers.
 
     The (doc, shingle) table feeds BOTH the signature branch and the
-    verify branch of the same DAG; ``cache_shingles`` persists it
-    (memory+disk, spill-safe) so the shingle explode+distinct runs once
-    instead of twice, materializes the verified pairs EAGERLY
-    (localCheckpoint — they are tiny relative to the corpus), and
-    unpersists the shingle table before returning: repeated calls in
-    one session (benchmark loops, the query suite) must not accumulate
-    cached partitions until executor storage is exhausted.
+    verify branch of the same DAG; with ``cache_shingles`` (default) it
+    is persisted (memory+disk, spill-safe) so the shingle
+    explode+distinct runs once instead of twice, the verified pairs are
+    materialized EAGERLY at call time (localCheckpoint — they are tiny
+    relative to the corpus), and the shingle table is unpersisted before
+    returning: repeated calls in one session (benchmark loops, the query
+    suite) must not accumulate cached partitions until executor storage
+    is exhausted.
+
+    API contract note: the eager default means CONSTRUCTION runs Spark
+    jobs, and localCheckpoint'ed partitions are NOT fault-tolerant — on
+    a real cluster, losing an executor after the call loses the result
+    (no lineage to recompute from). Callers who need a lazy,
+    fully-recomputable plan (e.g. long-lived cluster jobs that tolerate
+    executor churn) pass ``eager=False``: the returned plan is then pure
+    lineage and ``cache_shingles`` is ignored (the shingle subtree is
+    simply computed by both branches — persisting it couldn't be safely
+    unpersisted under a lazy contract).
 
     ``base_hash='md5_60'`` makes the WHOLE pipeline cross-engine
     deterministic: md5-derived shingle hashes + an md5-of-sorted-sigs
     band key (instead of xxhash64 for both), so a DuckDB oracle can
     reproduce the final pair set value-for-value."""
     rows_per_band = num_perm // bands
+    cache_shingles = cache_shingles and eager
     sh = word_shingles(docs, n=n)
     if cache_shingles:
         from pyspark import StorageLevel
@@ -258,8 +306,9 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= F.lit(threshold))
         .select("doc_a", "doc_b", "jaccard")
     )
-    if cache_shingles:
+    if eager:
         out = out.localCheckpoint()
+    if cache_shingles:
         sh.unpersist()
     return out
 

@@ -18,12 +18,11 @@ Two operators:
 
 from __future__ import annotations
 
-import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from batch_geocode_spark.functions.cells import np_cell_encode, np_cell_neighbors
+from batch_geocode_spark.functions.cells import np_cell_encode, np_cell_ring_batch
 from batch_geocode_spark.functions.geo import haversine_km
 
 
@@ -102,10 +101,11 @@ def knn_spatial(
     def enc_ring(lat, lng):
         import pandas as pd
 
+        # fully vectorized: encode the batch, then the (n, 9) ring matrix
+        # via shifted (x, y) copies — no per-row Python. Invalid entries
+        # (lat clamp) are -1 and filtered after the explode below.
         base = np_cell_encode(lat.to_numpy(), lng.to_numpy(), res)
-        return pd.Series(
-            [np.append(np_cell_neighbors(int(c)), int(c)).tolist() for c in base]
-        )
+        return pd.Series(np_cell_ring_batch(base, res).tolist())
 
     pts = points.select(
         F.col(p_id).alias("nbr_id"),
@@ -118,7 +118,7 @@ def knn_spatial(
         F.col(q_lat).alias("query_lat"),
         F.col(q_lng).alias("query_lng"),
         F.explode(enc_ring(F.col(q_lat), F.col(q_lng))).alias("cell"),
-    )
+    ).filter(F.col("cell") >= 0)
     joined = qry.join(pts, "cell", "inner").withColumn(
         "dist_km",
         haversine_km(

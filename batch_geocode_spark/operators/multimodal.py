@@ -66,9 +66,15 @@ def validate_images(images: DataFrame) -> DataFrame:
             phash_match = np.zeros(n, dtype=bool)
             hamming = np.full(n, 64, dtype=np.int32)
             mean_px: list = [None] * n
-            meta_w = pdf["w"].to_numpy(np.int64)
-            meta_h = pdf["h"].to_numpy(np.int64)
-            want_ph = pdf["phash"].to_numpy(np.int64)
+            # null w/h/phash (nullable parquet schema) must NOT reach the
+            # int64 conversion — NaN silently casts to INT64_MIN and the
+            # row would report decode_ok=True with garbage hamming. Such
+            # rows keep the all-False defaults, matching the scalar path
+            # (int(None)/None^int raise → (False, False, False, 64, None)).
+            meta_null = pdf[["w", "h", "phash"]].isna().to_numpy().any(axis=1)
+            meta_w = pdf["w"].fillna(0).to_numpy(np.int64)
+            meta_h = pdf["h"].fillna(0).to_numpy(np.int64)
+            want_ph = pdf["phash"].fillna(0).to_numpy(np.int64)
             bufs = pdf["bytes"].to_numpy(object)
             fmts = pdf["fmt"].to_numpy(object)
 
@@ -76,6 +82,8 @@ def validate_images(images: DataFrame) -> DataFrame:
             groups: dict[tuple, tuple[list[int], list]] = {}
             fallback: list[int] = []
             for i in range(n):
+                if meta_null[i]:
+                    continue
                 buf, fmt = bufs[i], fmts[i]
                 try:
                     if fmt == "dctq" and buf[:4] == b"DCTQ":
@@ -151,18 +159,89 @@ def validate_images(images: DataFrame) -> DataFrame:
     )
 
 
+def _group_decode(bufs, fmts):
+    """Group an Arrow batch's payloads by (fmt, dims) and BATCH-decode
+    each group (fused ``decode_dctq_batch`` / one ``np.stack``) — the
+    same grouping validate_images uses. Returns (groups, fallback):
+    groups is a list of (row_indices ndarray, (B, h, w, 3) uint8 stack);
+    fallback holds the indices of rows that can't join a batchable group
+    (malformed header, truncated payload, non-3-channel) for the
+    caller's per-row scalar path."""
+    import struct
+    import zlib
+
+    raw_groups: dict[tuple, tuple[list[int], list]] = {}
+    fallback: list[int] = []
+    for i in range(len(bufs)):
+        buf, fmt = bufs[i], fmts[i]
+        try:
+            if fmt == "dctq" and buf[:4] == b"DCTQ":
+                h, w, c = struct.unpack("<HHB", bytes(buf[4:9]))
+                raw = np.frombuffer(
+                    zlib.decompress(bytes(buf[9:])), dtype=np.int16
+                )
+                ph_, pw_ = h + ((-h) % 8), w + ((-w) % 8)
+                if c != 3 or len(raw) != c * ph_ * pw_:
+                    raise ValueError("unbatchable DCTQ payload")
+                key = ("dctq", h, w, c)
+                raw_groups.setdefault(key, ([], []))[0].append(i)
+                raw_groups[key][1].append(raw)
+            elif fmt == "ppm" and buf[:2] == b"P6":
+                img = codecs.decode_ppm(bytes(buf))
+                key = ("ppm",) + img.shape
+                raw_groups.setdefault(key, ([], []))[0].append(i)
+                raw_groups[key][1].append(img)
+            else:
+                raise ValueError("unknown payload")
+        except Exception:  # noqa: BLE001 — malformed rows → scalar path
+            fallback.append(i)
+
+    groups = []
+    for key, (idx, payloads) in raw_groups.items():
+        if key[0] == "dctq":
+            imgs = codecs.decode_dctq_batch(payloads, key[1], key[2], key[3])
+        else:
+            imgs = np.stack(payloads)
+        groups.append((np.asarray(idx), imgs))
+    return groups, fallback
+
+
 def resize_images(images: DataFrame, out_h: int, out_w: int) -> DataFrame:
     """Decode → nearest-neighbor resize → re-encode (lossless ppm).
-    Captions and ids pass through untouched (byte-equality invariant)."""
+    Captions and ids pass through untouched (byte-equality invariant).
+
+    BATCHED kernel (VERDICT r3): rows group by (fmt, dims), each group
+    batch-decodes and resizes as ONE fancy-index over the (B, h, w, 3)
+    stack — nearest-neighbor uses the exact index arrays of
+    ``codecs.resize_nearest``, so pixels are bit-identical to the scalar
+    path; the phash uses the vectorized batch hash when the output dims
+    are multiples of 8 (same exact integer arithmetic)."""
+    hash_batch_ok = out_h % 8 == 0 and out_w % 8 == 0
 
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            out_bytes, phashes = [], []
-            for r in pdf.itertuples():
-                img = codecs.decode_image(r.bytes, r.fmt)
+            n = len(pdf)
+            bufs = pdf["bytes"].to_numpy(object)
+            fmts = pdf["fmt"].to_numpy(object)
+            out_bytes = np.empty(n, dtype=object)
+            phashes = np.zeros(n, dtype=np.int64)
+            groups, fallback = _group_decode(bufs, fmts)
+            for idx, imgs in groups:
+                h, w = imgs.shape[1:3]
+                yi = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+                xi = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+                small = np.ascontiguousarray(imgs[:, yi][:, :, xi])
+                if hash_batch_ok:
+                    phashes[idx] = codecs.average_hash_batch(small)
+                for j, k in enumerate(idx):
+                    out_bytes[k] = codecs.encode_ppm(small[j])
+                    if not hash_batch_ok:
+                        phashes[k] = codecs.average_hash(small[j])
+            for i in fallback:
+                img = codecs.decode_image(bufs[i], fmts[i])
                 small = codecs.resize_nearest(img, out_h, out_w)
-                out_bytes.append(codecs.encode_ppm(small))
-                phashes.append(codecs.average_hash(small))
+                out_bytes[i] = codecs.encode_ppm(small)
+                phashes[i] = codecs.average_hash(small)
             yield pd.DataFrame(
                 {
                     "image_id": pdf["image_id"].to_numpy(),
@@ -171,7 +250,7 @@ def resize_images(images: DataFrame, out_h: int, out_w: int) -> DataFrame:
                     "h": np.int32(out_h),
                     "fmt": "ppm",
                     "caption": pdf["caption"].to_numpy(),
-                    "phash": np.asarray(phashes, dtype=np.int64),
+                    "phash": phashes,
                 }
             )
 
@@ -182,34 +261,77 @@ def resize_images(images: DataFrame, out_h: int, out_w: int) -> DataFrame:
 FEATURE_DIM = 12
 
 
+def _features_from_stack(imgs: np.ndarray) -> np.ndarray:
+    """(B, h, w, 3) uint8 → (B, FEATURE_DIM) float32 feature matrix.
+
+    All statistics derive from EXACT int64 pixel sums (sum, sum-of-
+    squares over uint8 values are integers < 2^53, so float64 division
+    reproduces them exactly), which makes the result independent of
+    batch size — the scalar fallback is literally this function on a
+    B=1 stack, bit-identical by construction. Layout: [mean_r, mean_g,
+    mean_b, std_r, std_g, std_b, lum_q00, lum_q01, lum_q10, lum_q11,
+    aspect, lum_std]."""
+    b, h, w = imgs.shape[:3]
+    npx = h * w
+    # exact integer sums WITHOUT materializing an int64 copy of the
+    # stack (8× the pixel bytes — the batch would be DRAM-bound):
+    # uint8/uint16 staged arithmetic, int64 only in the reductions
+    ch_sum = imgs.sum(axis=(1, 2), dtype=np.int64)
+    ch_sumsq = np.square(imgs.astype(np.uint16)).sum(axis=(1, 2), dtype=np.int64)
+    ch_mean = ch_sum / npx
+    ch_std = np.sqrt(np.maximum(ch_sumsq / npx - ch_mean**2, 0.0))
+    # 3-slice uint16 add beats sum(axis=3) — same trick as
+    # codecs.average_hash_batch; channel sums ≤ 765 fit uint16 exactly
+    s = imgs[..., 0].astype(np.uint16)
+    s += imgs[..., 1]
+    s += imgs[..., 2]  # (B, h, w): 3 × luminance, exact integers
+    h2, w2 = h // 2, w // 2
+    quads = [s[:, :h2, :w2], s[:, :h2, w2:], s[:, h2:, :w2], s[:, h2:, w2:]]
+    grid = [
+        q.sum(axis=(1, 2), dtype=np.int64) / (3.0 * q.shape[1] * q.shape[2])
+        for q in quads
+    ]
+    s_sum = s.sum(axis=(1, 2), dtype=np.int64)
+    s_sumsq = np.square(s.astype(np.uint32)).sum(axis=(1, 2), dtype=np.int64)
+    lum_mean = s_sum / (3.0 * npx)
+    lum_std = np.sqrt(np.maximum(s_sumsq / (9.0 * npx) - lum_mean**2, 0.0))
+    cols = (
+        [ch_mean[:, c] for c in range(3)]
+        + [ch_std[:, c] for c in range(3)]
+        + grid
+        + [np.full(b, w / h), lum_std]
+    )
+    return np.stack(cols, axis=1).astype(np.float32)
+
+
 def extract_features(images: DataFrame) -> DataFrame:
     """Per-image feature vector (channel means/stds + 2×2 spatial
     luminance grid + aspect) as array<float> — the feature-extraction
     stage of a training-data pipeline; swap the kernel for a real model
-    without touching the plan."""
+    without touching the plan.
+
+    BATCHED kernel (VERDICT r3): rows group by (fmt, dims) and each
+    group runs batch decode → ONE vectorized statistics pass over the
+    (B, h, w, 3) stack (``_features_from_stack``); unbatchable rows
+    take the same function on a B=1 stack — identical values."""
 
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            ids, feats = [], []
-            for r in pdf.itertuples():
-                img = codecs.decode_image(r.bytes, r.fmt).astype(np.float32)
-                h, w = img.shape[:2]
-                lum = img.mean(axis=2)
-                grid = [
-                    float(lum[: h // 2, : w // 2].mean()),
-                    float(lum[: h // 2, w // 2 :].mean()),
-                    float(lum[h // 2 :, : w // 2].mean()),
-                    float(lum[h // 2 :, w // 2 :].mean()),
-                ]
-                v = (
-                    [float(img[:, :, c].mean()) for c in range(3)]
-                    + [float(img[:, :, c].std()) for c in range(3)]
-                    + grid
-                    + [float(w) / float(h), float(lum.std())]
-                )
-                ids.append(r.image_id)
-                feats.append(np.asarray(v, dtype=np.float32))
-            yield pd.DataFrame({"image_id": ids, "features": feats})
+            n = len(pdf)
+            bufs = pdf["bytes"].to_numpy(object)
+            fmts = pdf["fmt"].to_numpy(object)
+            feats = np.empty(n, dtype=object)
+            groups, fallback = _group_decode(bufs, fmts)
+            for idx, imgs in groups:
+                fm = _features_from_stack(imgs)
+                for j, k in enumerate(idx):
+                    feats[k] = fm[j]
+            for i in fallback:
+                img = codecs.decode_image(bufs[i], fmts[i])
+                feats[i] = _features_from_stack(img[None])[0]
+            yield pd.DataFrame(
+                {"image_id": pdf["image_id"].to_numpy(), "features": feats}
+            )
 
     return images.select("image_id", "bytes", "fmt").mapInPandas(
         run, schema="image_id string, features array<float>"

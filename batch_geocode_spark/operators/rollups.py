@@ -62,7 +62,9 @@ def tile_pyramid(density: DataFrame, levels: tuple[int, ...] = (9, 6, 3)) -> Dat
     per-level frames stay distinct-schema-free (same 3 columns) so the
     result is one partition-friendly long table keyed by (res, cell).
     """
-    if sorted(levels, reverse=True) != list(levels):
+    if not levels or not all(a > b for a, b in zip(levels, levels[1:])):
+        # sorted(...) would accept (9, 9, 3): a duplicate level adds an
+        # identity rollup leg that double-counts that resolution's mass
         raise ValueError(f"levels must be strictly decreasing, got {levels}")
     base_res = levels[0]
     cur = density.select("cell", "n_images")

@@ -87,3 +87,31 @@ def test_cell_parent_column(spark):
     ).collect()
     want = cells.np_cell_encode(lats, lngs, 5)
     assert [r["p"] for r in got] == want.tolist()
+
+
+def test_cell_ring_batch_matches_scalar():
+    """np_cell_ring_batch (round 4, vectorized kNN ring) must reproduce
+    np_cell_neighbors + center for every cell — including poles (lat
+    clamp drops rows) and the antimeridian (lng wrap)."""
+    rng = np.random.default_rng(7)
+    for res in (2, 5, 7, 12):
+        lats = np.concatenate([rng.uniform(-90, 90, 40), [-89.99, 89.99, 0.0]])
+        lngs = np.concatenate([rng.uniform(-180, 180, 40), [-179.99, 179.99, 0.0]])
+        base = cells.np_cell_encode(lats, lngs, res)
+        mat = cells.np_cell_ring_batch(base, res)
+        assert mat.shape == (len(base), 9)
+        for i, c in enumerate(base):
+            want = sorted(set(cells.np_cell_neighbors(int(c)).tolist()) | {int(c)})
+            got = sorted(v for v in mat[i].tolist() if v >= 0)
+            assert got == want, f"res={res} cell={c}"
+
+
+def test_cell_ring_batch_degenerate_grid():
+    """res 0/1 grids: wrap collisions must be deduped, not duplicated."""
+    for res in (0, 1):
+        base = cells.np_cell_encode(np.array([10.0, -40.0]), np.array([5.0, 170.0]), res)
+        mat = cells.np_cell_ring_batch(base, res)
+        for i, c in enumerate(base):
+            want = sorted(set(cells.np_cell_neighbors(int(c)).tolist()) | {int(c)})
+            got = sorted(v for v in mat[i].tolist() if v >= 0)
+            assert got == want

@@ -373,3 +373,29 @@ def test_cosine_near_dup_approx_rows_hint_is_jobless(spark, vectors):
     assert n_jobs() > before, "probe fallback costs a job"
     # both hints resolve to the same (LSH) strategy here
     assert "Join" in probe._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_decontamination_flags(spark):
+    """d09 operator: a corpus doc sharing ANY word n-gram with the eval
+    set is flagged with the exact shared-shingle count; clean docs are
+    absent. The eval side must be the broadcast build side."""
+    leak = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    corpus = spark.createDataFrame(
+        [
+            (1, f"intro words {leak} trailing text here"),   # contains the 8-gram
+            (2, "totally unrelated content with no overlap at all ok"),
+            (3, f"{leak} {leak}"),                           # multiple hits
+        ],
+        "doc_id long, text string",
+    )
+    eval_docs = spark.createDataFrame(
+        [(100, f"prefix {leak} suffix"), (101, f"also {leak} here")],
+        "doc_id long, text string",
+    )
+    df = D.decontamination_flags(corpus, eval_docs, n=8)
+    got = df.toPandas().set_index("doc_id")
+    assert set(got.index) == {1, 3}
+    assert got.loc[1, "n_shared_shingles"] == 1
+    assert got.loc[1, "n_eval_docs"] == 2  # the 8-gram occurs in both
+    assert got.loc[3, "n_shared_shingles"] >= 1
+    assert "broadcast" in df._jdf.queryExecution().optimizedPlan().toString().lower()

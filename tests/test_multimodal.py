@@ -76,6 +76,32 @@ def test_audio_video_stubs():
         MM.sample_video_frames(None)
 
 
+def test_validate_images_null_metadata(spark):
+    """ADVICE r3: null w/h/phash (nullable parquet schema) must not cast
+    NaN → INT64_MIN and report decode_ok=True with garbage hamming; such
+    rows report (decode_ok=False, hamming=64, null mean) while the rest
+    of the batch still takes the batched kernel."""
+    pdf = datagen.make_images(6, with_bytes=True).astype(
+        {"w": "object", "h": "object", "phash": "object"}
+    )
+    pdf.loc[0, "w"] = None
+    pdf.loc[1, "phash"] = None
+    df = spark.createDataFrame(
+        pdf,
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "caption string, phash long",
+    )
+    got = MM.validate_images(df).toPandas().set_index("image_id")
+    for i in range(2):
+        row = got.loc[pdf.loc[i, "image_id"]]
+        assert not bool(row["decode_ok"])
+        assert int(row["phash_hamming"]) == 64
+        assert row["mean_px"] is None or row["mean_px"] != row["mean_px"]
+    for i in range(2, 6):
+        row = got.loc[pdf.loc[i, "image_id"]]
+        assert bool(row["decode_ok"]) and bool(row["phash_match"])
+
+
 def test_image_near_dup_pairs_via_phash(spark):
     """Real pixel path: an image and a lightly-perturbed copy have
     near-identical average-hashes; the band join must surface the pair
@@ -105,6 +131,47 @@ def test_image_near_dup_pairs_via_phash(spark):
     pairs = {(r.image_a, r.image_b) for r in got.itertuples()}
     assert (1, 2) in pairs
     assert not any(3 in p for p in pairs)
+
+
+def test_resize_batch_equals_scalar(spark):
+    """The grouped batch resize (round 4) must reproduce the per-row
+    scalar path bit for bit — same nearest-neighbor index arrays, same
+    PPM bytes, same phash — on both the batch-hash path (out dims
+    multiples of 8) and the scalar-hash path (odd out dims)."""
+    pdf = datagen.make_images(40, with_bytes=True)
+    df = spark.createDataFrame(
+        pdf,
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "caption string, phash long",
+    )
+    for out_h, out_w in [(8, 8), (7, 9)]:
+        got = MM.resize_images(df, out_h, out_w).toPandas().set_index("image_id")
+        for r in pdf.itertuples():
+            img = codecs.decode_image(r.bytes, r.fmt)
+            small = codecs.resize_nearest(img, out_h, out_w)
+            row = got.loc[r.image_id]
+            assert bytes(row["bytes"]) == codecs.encode_ppm(small)
+            assert int(row["phash"]) == codecs.average_hash(small)
+            assert row["caption"] == r.caption
+
+
+def test_extract_features_batch_equals_scalar(spark):
+    """Grouped batch feature extraction must equal the B=1 scalar path
+    exactly (the kernel derives every statistic from exact int64 pixel
+    sums, so values are batch-size-independent by construction)."""
+    pdf = datagen.make_images(40, with_bytes=True)
+    df = spark.createDataFrame(
+        pdf,
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "caption string, phash long",
+    )
+    got = MM.extract_features(df).toPandas().set_index("image_id")
+    for r in pdf.itertuples():
+        img = codecs.decode_image(r.bytes, r.fmt)
+        expect = MM._features_from_stack(img[None])[0]
+        np.testing.assert_array_equal(
+            np.asarray(got.loc[r.image_id]["features"], dtype=np.float32), expect
+        )
 
 
 def test_validate_images_batch_equals_scalar(spark):

@@ -136,6 +136,67 @@ def test_sampling_scan_prunes_text_payload(spark, sf_dir):
     assert read_schemas and all("text" not in ln for ln in read_schemas)
 
 
+def test_hot_caption_skew_is_structurally_immune(spark):
+    """VERDICT r3 #8: a dense-metro caption hitting ~90% of rows
+    (P_DENSE≈0.9) must not skew the pipeline. Structure makes it so:
+    the hot key is only a broadcast PROBE key (never a shuffle key) so
+    amplification spreads evenly over scan partitions, and
+    composite_best shuffles on the unique image_id AFTER a partial
+    aggregation collapses each image's ≤8 candidate rows map-side.
+    Pins: (a) the join stays broadcast on the skewed fixture, (b)
+    partial_* aggregate functions run before the exchange, (c) agg
+    output rows stay balanced across shuffle partitions."""
+    import pandas as pd
+
+    n = 4000
+    hot = datagen.place_name(0)
+    capts = [
+        f"A photo of a market near {hot}, somewhere"
+        if i % 10 < 9
+        else f"A photo of a clinic near {datagen.place_name(i % 150)}, somewhere"
+        for i in range(n)
+    ]
+    pdf = pd.DataFrame(
+        {"image_id": [f"img{i:012d}" for i in range(n)], "caption": capts}
+    )
+    images = spark.createDataFrame(pdf).repartition(8)
+    gaz = datagen.gazetteer_to_spark(spark)
+    best = G.composite_best(
+        G.vet_candidates(G.build_candidates(images, gaz))
+    )
+    plan = _plan(best)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert "partial_sum" in plan, "map-side combine must precede the shuffle"
+    counts = (
+        best.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid").count().toPandas()["count"]
+    )
+    assert counts.max() <= 3 * max(counts.mean(), 1.0), (
+        f"hot-key fixture skewed the agg partitions: {sorted(counts)}"
+    )
+
+
+def test_tile_pyramid_reuses_base_exchange(spark):
+    """g14's pyramid legs all derive from ONE base (points → cells)
+    aggregation; the union must not recompute it per level — the plan
+    (final, post-AQE) has to show exchange/stage reuse so the expensive
+    base shuffle runs once regardless of pyramid depth."""
+    from batch_geocode_spark.operators import rollups as R
+    from batch_geocode_spark.operators import tiles as T
+
+    images = datagen.images_to_spark(spark, 300, with_bytes=False)
+    gaz = datagen.gazetteer_to_spark(spark)
+    _, best = G.geocode_images(images, gaz)
+    pyr = R.tile_pyramid(T.cell_density(best, res=9), levels=(9, 6, 3))
+    pyr.collect()  # AQE finalizes reuse at execution
+    plan = _plan(pyr)
+    assert any(
+        marker in plan
+        for marker in ("ReusedExchange", "ReusedQueryStage", "ReusedSubquery")
+    ), f"pyramid legs must share the base exchange:\n{plan}"
+
+
 def test_spatial_knn_no_cartesian(spark):
     """g12's ring join must be an equi-join on cell — never a cross
     join, never a sort-merge shuffle of the big side beyond the ring

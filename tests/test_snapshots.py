@@ -346,3 +346,17 @@ def test_tile_pyramid_snapshot_mass_conservation(spark, best_df, tmp_path_factor
         t.read(spark).groupBy("res").count().toPandas().set_index("res")["count"]
     )
     assert n_cells[9] >= n_cells[6] >= n_cells[3]
+
+
+def test_tile_pyramid_rejects_non_strict_levels(spark, best_df):
+    """ADVICE r3: a duplicated level would add an identity rollup leg
+    and double that resolution's mass — the guard must catch (9, 9, 3),
+    not just increasing sequences."""
+    import pytest
+    from batch_geocode_spark.operators import rollups as R
+    from batch_geocode_spark.operators import tiles as T
+
+    dens = T.cell_density(best_df, res=9)
+    for bad in [(9, 9, 3), (9, 3, 3), (3, 6), ()]:
+        with pytest.raises(ValueError):
+            R.tile_pyramid(dens, levels=bad)

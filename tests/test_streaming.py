@@ -402,3 +402,45 @@ def test_read_density_pyramid_over_streamed_deltas(spark, tmp_path_factory):
     assert got.equals(want)
     n_best = best.count()
     assert all(got[got["res"] == r]["n_images"].sum() == n_best for r in (9, 6, 3))
+
+
+def test_incremental_pyramid_matches_batch(spark, tmp_path_factory):
+    """stream_geocode_to_pyramid (round 4): per-batch deltas written at
+    EVERY level must fold — via the single (res, cell) sum of
+    read_pyramid, no per-read rollup chain — to exactly the batch
+    tile_pyramid over all images, across ≥2 micro-batches."""
+    from batch_geocode_spark.operators import rollups as R
+    from batch_geocode_spark.operators import tiles as T
+
+    in_dir = str(tmp_path_factory.mktemp("ipyr_in"))
+    ckpt = str(tmp_path_factory.mktemp("ipyr_ckpt"))
+    table = SnapshotTable(str(tmp_path_factory.mktemp("ipyr_snap")))
+    images = datagen.images_to_spark(spark, 200, with_bytes=False)
+    images.filter(F.col("image_id") < "img000000000100").coalesce(1).write.mode(
+        "append").parquet(in_dir)
+    images.filter(F.col("image_id") >= "img000000000100").coalesce(1).write.mode(
+        "append").parquet(in_dir)
+
+    gaz = datagen.gazetteer_to_spark(spark)
+    q = streaming.stream_geocode_to_pyramid(
+        spark, in_dir, gaz, table, ckpt, levels=(9, 6, 3), available_now=True,
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(300)
+
+    # at least two distinct batch namespaces actually committed
+    namespaces = {k.split("/")[0] for k in table.committed_buckets() if "/" in k}
+    assert len(namespaces) >= 2, f"expected >=2 micro-batches, got {namespaces}"
+
+    got = (
+        streaming.read_pyramid(spark, table)
+        .toPandas().sort_values(["res", "cell"]).reset_index(drop=True)
+    )
+    _, best = G.geocode_images(images, gaz)
+    want = (
+        R.tile_pyramid(T.cell_density(best, res=9), levels=(9, 6, 3))
+        .toPandas().sort_values(["res", "cell"]).reset_index(drop=True)
+    )
+    assert got.astype({"n_images": "int64"}).equals(
+        want.astype({"n_images": "int64"})
+    )
