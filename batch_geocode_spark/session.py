@@ -56,9 +56,17 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # binary image payloads make row batches HEAVY: 20000 rows ≈
+        # 70 MB of Arrow buffers per in-flight batch, and at 32 threads
+        # the allocator/GC churn of 32 such streams halves end-to-end
+        # throughput (measured 89-110k → 153-163k img/s at local[32]
+        # with 5000-row batches on the 4M-image pipeline; ≤8 threads are
+        # insensitive). 5000 sits mid-plateau (2000-10000 all within
+        # ~7%) and keeps batches ~17 MB — still ample amortization for
+        # the pandas kernels.
         .config(
             "spark.sql.execution.arrow.maxRecordsPerBatch",
-            os.environ.get("SPARK_ARROW_BATCH", "20000"),
+            os.environ.get("SPARK_ARROW_BATCH", "5000"),
         )
         # local test files are small; the 128MB/4MB defaults would fuse
         # them into ~8 scan partitions and starve the other cores

@@ -57,7 +57,7 @@ def wait_for_quiet(max_load: float = 4.0, timeout_s: int = 120) -> tuple[float, 
 
 
 def timed_best(action, attempts: int = 2, max_attempts: int = 4,
-               agree: float = 0.25) -> tuple[float, dict]:
+               agree: float = 0.25, ext_quiet: float = 1.5) -> tuple[float, dict]:
     """Load-gated adaptive best-of-N: start with ``attempts`` runs; if
     the two fastest disagree by more than ``agree`` (a load burst hit
     mid-attempt, which the pre-attempt gate can't see), keep measuring
@@ -65,32 +65,45 @@ def timed_best(action, attempts: int = 2, max_attempts: int = 4,
     steady-state figure on a host with external tenant bursts.
 
     Returns (best_sec, evidence): evidence carries every attempt's wall
-    time, the 1-min load at gate release, and the gate-timeout flag, so
-    the BENCH JSON can PROVE a figure was (or wasn't) measured quiet —
-    round-over-round deltas were previously unfalsifiable (VERDICT r3)."""
+    time, the 1-min load at gate release, the gate-timeout flag, AND the
+    external-tenant CPU cores concurrently busy DURING the attempt
+    (host /proc/stat busy minus our own process tree — the load average
+    lags sub-minute bursts, this does not). The reported min is the
+    fastest attempt; ``best_ext_cores`` is that attempt's external load
+    and ``contaminated`` means no attempt ran with external CPU below
+    ``ext_quiet`` cores — so the BENCH JSON PROVES each figure was (or
+    wasn't) measured quiet (VERDICT r3)."""
+    from batch_geocode_spark.loadmeter import ExternalCpuMeter
+
     times: list[float] = []
     loads: list[float] = []
     gated: list[bool] = []
+    ext: list[float] = []
     while True:
         load, timed_out = wait_for_quiet()
         loads.append(round(load, 2))
         gated.append(timed_out)
-        t0 = time.perf_counter()
-        action()
-        times.append(time.perf_counter() - t0)
+        with ExternalCpuMeter() as m:
+            t0 = time.perf_counter()
+            action()
+            times.append(time.perf_counter() - t0)
+        ext.append(round(m.ext_cores(), 2))
         if len(times) >= attempts:
             s = sorted(times)
             if len(s) >= 2 and (s[1] - s[0]) / s[0] <= agree:
                 break
             if len(times) >= max_attempts:
                 break
+    i_best = times.index(min(times))
     evidence = {
         "attempts": [round(t, 3) for t in times],
         "loads": loads,
         "gate_timeouts": gated,
-        # contaminated = every attempt ran with the quiet-gate timed out;
-        # the min still gets reported but can't be trusted as steady-state
-        "contaminated": all(gated),
+        "ext_cores": ext,
+        "best_ext_cores": ext[i_best],
+        # contaminated = no attempt ran on a provably-quiet host; the min
+        # still gets reported but can't be trusted as steady-state
+        "contaminated": all(g or e > ext_quiet for g, e in zip(gated, ext)),
     }
     return min(times), evidence
 

@@ -43,21 +43,11 @@ from datetime import datetime, timezone
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _host_busy_s() -> float:
-    """Host-wide CPU busy seconds since boot (/proc/stat: everything
-    except idle+iowait, summed over all CPUs)."""
-    with open("/proc/stat") as f:
-        parts = f.readline().split()[1:]
-    user, nice, system, idle, iowait, irq, softirq, steal = (
-        int(v) for v in parts[:8]
-    )
-    return (user + nice + system + irq + softirq + steal) / os.sysconf(
-        "SC_CLK_TCK"
-    )
-
-
 def run_level(cores: int, n: int, data_dir: str) -> dict:
     import time
+
+    sys.path.insert(0, REPO)
+    from batch_geocode_spark.loadmeter import host_busy_s as _host_busy_s
 
     busy0, t0 = _host_busy_s(), time.time()
     out = subprocess.run(
@@ -235,19 +225,21 @@ best-pair efficiency **{appendix['scaling_efficiency']:.3f}**
 
 {_pairs_table(appendix)}
 
-Why this pair under-measures cluster scaling: on a QUIET host local[8]
-alone already delivers ~60% of the box's saturated end-to-end
-throughput — between 8 and 32 threads the shared DRAM controllers (one
-socket, one memory bus for scan + Arrow IPC + numpy decode + shuffle)
-become the binding resource, so the 8→32 ratio measures a single-box
-hardware ceiling that a real N→4N EXECUTOR scale-out (per-node memory
-controllers) does not share. The per-pair load columns quantify the
-converse effect in earlier rounds: under external load the 8-thread
-baseline starves first, INFLATING measured 8→32 efficiency (r3's
-0.818 best pair ran in exactly such a window; this round's quiet-window
-pairs are the honest figure). The kernel-only multiprocessing
-cross-check (decode+phash, no JVM: 55.4k → 192.1k img/s, 8 → 32
-procs, eff 0.87) shows the Python kernel itself is scale-clean.
+What this pair taught us (round 4): profiling the 8→32 gap exposed a
+REAL engine bottleneck — 20000-row Arrow batches of binary payloads
+(~70 MB each) thrash the allocator/GC when 32 streams are in flight;
+shrinking to 5000-row batches (session default now) lifted local[32]
+from 89-110k to 153-163k img/s while ≤8-thread levels are unchanged.
+The remaining gap to linear is the single-box hardware ceiling: one
+socket's DRAM controllers serve scan + Arrow IPC + numpy decode +
+shuffle for all 32 threads, a resource a real N→4N EXECUTOR scale-out
+(per-node memory controllers) does not share. The per-level ext-cores
+columns also quantify the converse effect in earlier rounds: under
+external load the 8-thread baseline starves first, INFLATING measured
+8→32 efficiency (r2's 0.834 / r3's 0.818 best pairs ran in exactly
+such windows). The kernel-only multiprocessing cross-check
+(decode+phash, no JVM: 55.4k → 192.1k img/s, 8 → 32 procs, eff 0.87)
+shows the Python kernel itself is scale-clean.
 """
 
     md = f"""# BENCH/BASELINE — measured engine numbers

@@ -42,42 +42,6 @@ TILE_RES = 9
 CORES_PER_EXECUTOR = 4
 
 
-def _tree_cpu_s() -> float:
-    """Total CPU seconds consumed by THIS process tree (python driver +
-    live JVM gateway + pyspark daemons/workers + already-reaped children
-    via their parents' cutime/cstime). Lets scaling_bench subtract our
-    own usage from the host-wide /proc/stat busy delta — the remainder
-    is EXTERNAL tenant CPU during the run, the self-proving
-    contamination metric (1-min load averages lag multi-second bursts).
-    Live procs count their own utime+stime; reaped procs appear exactly
-    once in their parent's cutime/cstime — no double counting."""
-    hz = os.sysconf("SC_CLK_TCK")
-    procs: dict[int, tuple[int, int]] = {}
-    for d in os.listdir("/proc"):
-        if not d.isdigit():
-            continue
-        try:
-            with open(f"/proc/{d}/stat") as f:
-                parts = f.read().rsplit(")", 1)[1].split()
-        except OSError:
-            continue
-        # fields after the comm ')': 0=state 1=ppid ... 11=utime 12=stime
-        # 13=cutime 14=cstime (man proc(5), offset by the split)
-        procs[int(d)] = (
-            int(parts[1]),
-            int(parts[11]) + int(parts[12]) + int(parts[13]) + int(parts[14]),
-        )
-    tree = {os.getpid()}
-    changed = True
-    while changed:
-        changed = False
-        for pid, (ppid, _) in procs.items():
-            if ppid in tree and pid not in tree:
-                tree.add(pid)
-                changed = True
-    return sum(procs[p][1] for p in tree if p in procs) / hz
-
-
 def main() -> None:
     cores = int(sys.argv[1])
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 2_000_000
@@ -145,7 +109,14 @@ def main() -> None:
         dt = time.perf_counter() - t0
         sec = dt if sec is None else min(sec, dt)
     spark.stop()
-    cpu_s = _tree_cpu_s()
+    # own process-tree CPU (python driver + live JVM gateway + pyspark
+    # workers; reaped children via their parents' cutime) — lets
+    # scaling_bench subtract our usage from the host-wide busy delta,
+    # leaving EXTERNAL tenant CPU during the run: the self-proving
+    # contamination metric (1-min load averages lag sub-minute bursts)
+    from batch_geocode_spark.loadmeter import tree_cpu_s
+
+    cpu_s = tree_cpu_s()
     print(
         json.dumps(
             {
