@@ -1538,6 +1538,42 @@ def d09_decontamination(spark, sf_dir):
     return D.decontamination_flags(corpus, eval_docs, n=_D09_N)
 
 
+def e06_semantic_decontamination(spark, sf_dir):
+    """Embedding-space decontamination (paraphrase-robust sibling of
+    d09): corpus vectors with cosine ≥ 0.45 to any held-out eval vector
+    (deterministic split: vec_id % 7 == 0 → eval). Eval side broadcast;
+    corpus streams — the 100 TB shape."""
+    from batch_geocode_spark.operators import similarity as S
+
+    _views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    eval_vecs = emb.filter(F.col("vec_id") % 7 == 0)
+    corpus = emb.filter(F.col("vec_id") % 7 != 0)
+    return S.semantic_decontamination(corpus, eval_vecs, threshold=0.45)
+
+
+QUERIES["e06_semantic_decontamination"] = e06_semantic_decontamination
+ORACLES["e06_semantic_decontamination"] = """
+    WITH v AS (
+      SELECT vec_id, embedding,
+        sqrt(list_sum(list_transform(embedding,
+          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      FROM embeddings),
+    hits AS (
+      SELECT c.vec_id AS corpus_id,
+        list_sum(list_transform(range(1, len(c.embedding) + 1),
+          i -> CAST(c.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+          / (c.nrm * e.nrm) AS cos_sim
+      FROM v c JOIN v e ON e.vec_id % 7 = 0 AND c.vec_id % 7 <> 0
+      WHERE list_sum(list_transform(range(1, len(c.embedding) + 1),
+          i -> CAST(c.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+          / (c.nrm * e.nrm) >= 0.45)
+    SELECT corpus_id, COUNT(*) AS n_eval_hits,
+           ROUND(MAX(cos_sim), 6) AS max_sim
+    FROM hits GROUP BY corpus_id
+"""
+
+
 _D09_N = 8
 _d09_terms = ", ".join(f"t[i+{j}]" for j in range(_D09_N))
 QUERIES["d09_decontamination"] = d09_decontamination

@@ -149,6 +149,46 @@ def ann_lsh_topk(
     )
 
 
+def semantic_decontamination(
+    corpus: DataFrame,
+    eval_vecs: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space test-set decontamination — the semantic sibling
+    of ``dedup.decontamination_flags``: flag corpus vectors whose cosine
+    similarity to ANY eval/benchmark vector reaches ``threshold``
+    (n-gram overlap misses paraphrases; embedding similarity catches
+    them). Returns one row per CONTAMINATED corpus vector:
+    (corpus_id, n_eval_hits, max_sim).
+
+    Scale shape: the eval set is tiny relative to a 100 TB corpus, so
+    it is the BROADCAST side; the corpus streams through the broadcast
+    nested-loop scoring with JVM-side dot products (zip_with/aggregate,
+    no Python) and aggregates per corpus id after the threshold filter
+    cuts the row count — the corpus never shuffles at full width. For
+    very large eval sets, pre-block with ``hyperplane_signatures`` the
+    way ``ann_lsh_topk`` does."""
+    c = corpus.select(
+        F.col(id_col).alias("corpus_id"), _as_double(F.col(vec_col)).alias("cv")
+    ).withColumn("cn", _norm(F.col("cv")))
+    e = eval_vecs.select(
+        F.col(id_col).alias("eval_id"), _as_double(F.col(vec_col)).alias("ev")
+    ).withColumn("en", _norm(F.col("ev")))
+    joined = c.crossJoin(F.broadcast(e)).withColumn(
+        "cos_sim", _dot(F.col("cv"), F.col("ev")) / (F.col("cn") * F.col("en"))
+    )
+    return (
+        joined.filter(F.col("cos_sim") >= F.lit(threshold))
+        .groupBy("corpus_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_eval_hits"),
+            F.round(F.max("cos_sim"), 6).alias("max_sim"),
+        )
+    )
+
+
 def cosine_near_dup_pairs(
     vecs: DataFrame,
     threshold: float = 0.95,

@@ -399,3 +399,30 @@ def test_decontamination_flags(spark):
     assert got.loc[1, "n_eval_docs"] == 2  # the 8-gram occurs in both
     assert got.loc[3, "n_shared_shingles"] >= 1
     assert "broadcast" in df._jdf.queryExecution().optimizedPlan().toString().lower()
+
+
+def test_semantic_decontamination(spark):
+    """e06 operator: a corpus vector planted near an eval vector is
+    flagged with its max similarity; orthogonal vectors are not. Eval
+    side must broadcast."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal(16)
+    near = base + rng.standard_normal(16) * 0.05   # cos ≈ 0.999
+    ortho = rng.standard_normal(16)
+    ortho -= ortho @ base / (base @ base) * base   # ⊥ base ⇒ cos ≈ 0
+    rows = [
+        (1, [float(x) for x in near]),
+        (2, [float(x) for x in ortho]),
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    eval_vecs = spark.createDataFrame(
+        [(100, [float(x) for x in base])], "vec_id long, embedding array<float>"
+    )
+    df = S.semantic_decontamination(corpus, eval_vecs, threshold=0.9)
+    got = df.toPandas().set_index("corpus_id")
+    assert set(got.index) == {1}
+    assert got.loc[1, "n_eval_hits"] == 1
+    assert got.loc[1, "max_sim"] > 0.99
+    assert "broadcast" in df._jdf.queryExecution().optimizedPlan().toString().lower()
