@@ -68,6 +68,16 @@ def get_spark(
             "spark.sql.execution.arrow.maxRecordsPerBatch",
             os.environ.get("SPARK_ARROW_BATCH", "5000"),
         )
+        # same physics on the SCAN side: the vectorized parquet reader's
+        # default 4096-row column batches hold ~14 MB of binary payload
+        # each; 32 concurrent tasks churn the allocator. 1024-row scan
+        # batches lift the 4M-image local[32] pipeline 142k → 216k
+        # img/s and are neutral at 2-8 threads and on narrow tables
+        # (batch overhead is JVM-side and amortized).
+        .config(
+            "spark.sql.parquet.columnarReaderBatchSize",
+            os.environ.get("SPARK_PARQUET_BATCH_ROWS", "1024"),
+        )
         # local test files are small; the 128MB/4MB defaults would fuse
         # them into ~8 scan partitions and starve the other cores
         .config(

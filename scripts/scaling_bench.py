@@ -225,15 +225,22 @@ best-pair efficiency **{appendix['scaling_efficiency']:.3f}**
 
 {_pairs_table(appendix)}
 
-What this pair taught us (round 4): profiling the 8→32 gap exposed a
-REAL engine bottleneck — 20000-row Arrow batches of binary payloads
-(~70 MB each) thrash the allocator/GC when 32 streams are in flight;
-shrinking to 5000-row batches (session default now) lifted local[32]
-from 89-110k to 153-163k img/s while ≤8-thread levels are unchanged.
-The remaining gap to linear is the single-box hardware ceiling: one
-socket's DRAM controllers serve scan + Arrow IPC + numpy decode +
-shuffle for all 32 threads, a resource a real N→4N EXECUTOR scale-out
-(per-node memory controllers) does not share. The per-level ext-cores
+What this pair taught us (round 4): profiling the 8→32 gap exposed two
+REAL engine bottlenecks, both allocation churn from oversized batches
+of binary payloads. (1) 20000-row Arrow batches (~70 MB each) thrash
+the allocator/GC with 32 streams in flight — 5000-row batches lifted
+local[32] from ~90-110k to 153-163k img/s. (2) The vectorized parquet
+reader's 4096-row scan batches (~14 MB of payload) do the same on the
+scan side — 1024-row batches lifted it further to 216k img/s measured
+quiet (both are session defaults now; 2-8-thread levels are
+insensitive to either). That puts local[32] at ~3.2× local[8]
+(eff ≈ 0.8) when the host is quiet; every pair in the table above ran
+under a sustained external storm (10-12.5 tenant cores during the
+32-thread runs — effectively a 20-core machine), which is why the
+recorded best is 0.765. The residual gap is the single-box hardware
+ceiling: one socket's DRAM controllers serve scan + Arrow IPC + numpy
+decode + shuffle for all 32 threads, a resource a real N→4N EXECUTOR
+scale-out (per-node memory controllers) does not share. The ext-cores
 columns also quantify the converse effect in earlier rounds: under
 external load the 8-thread baseline starves first, INFLATING measured
 8→32 efficiency (r2's 0.834 / r3's 0.818 best pairs ran in exactly

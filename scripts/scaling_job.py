@@ -48,7 +48,12 @@ def main() -> None:
     data_dir = sys.argv[3] if len(sys.argv) > 3 else f"/dev/shm/scaling_images_{n}"
     mode = os.environ.get("SCALING_MODE", "threads")
 
-    extra_conf = {}
+    # ad-hoc conf experiments: SCALING_EXTRA_CONF="k=v;k=v"
+    extra_conf = dict(
+        kv.split("=", 1)
+        for kv in os.environ.get("SCALING_EXTRA_CONF", "").split(";")
+        if "=" in kv
+    )
     if mode == "executors":
         n_exec = max(1, cores // CORES_PER_EXECUTOR)
         master = f"local-cluster[{n_exec},{CORES_PER_EXECUTOR},4096]"
