@@ -66,7 +66,7 @@ def main(argv: list[str] | None = None) -> int:
     if args.layout == "wide":
         # deterministic source×rank prefix grid — never discovered by a
         # distinct+collect over the (big) candidate table
-        prefixes = [f"{s}{r}" for s in sources for r in range(1, args.results_per_source + 1)]
+        prefixes = G.wide_prefix_grid(sources, args.results_per_source)
         out, key = G.to_wide(images.drop("bytes"), vetted, best, prefixes=prefixes), "image_id"
     elif args.layout == "best":
         out, key = best, "image_id"

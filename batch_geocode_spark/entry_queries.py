@@ -501,7 +501,12 @@ def d05_minhash_lsh(spark, sf_dir):
     return D.minhash_lsh_pairs(docs, n=4, threshold=0.5, base_hash="md5_60")
 
 
-def _d05_oracle(num_perm: int = 64, bands: int = 16, threshold: float = 0.5) -> str:
+def _d05_oracle(
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    source: str = "documents",
+) -> str:
     from batch_geocode_spark.operators.dedup import MERSENNE_P31, _perm_params
 
     a, b = _perm_params(num_perm, seed=42)
@@ -510,7 +515,7 @@ def _d05_oracle(num_perm: int = 64, bands: int = 16, threshold: float = 0.5) -> 
     p = MERSENNE_P31
     return rf"""
     WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
-                  FROM documents),
+                  FROM {source}),
     sh AS (SELECT DISTINCT doc_id, shingle FROM (
       SELECT doc_id, unnest(list_transform(range(1, greatest(len(t) - 2, 1)),
         i -> concat(t[i], ' ', t[i+1], ' ', t[i+2], ' ', t[i+3]))) AS shingle
@@ -569,20 +574,40 @@ def e02_cosine_near_dup(spark, sf_dir):
     )
 
 
+# Recall bars for the ANN verification summaries: the driver
+# embeddings are unstructured random vectors (nearest neighbors at cos
+# ~0.36) — the worst case for sublinear ANN. IVF probes 1/4 of the
+# corpus and measures 2-4/5 exact-top-k overlap per query at sf0.01,
+# so 0.4 is a real regression bar. LSH bucket overlap on this data is
+# 0-1/5 — NO uniform bar holds, so e03's machine check is the
+# candidate-SOUNDNESS invariant instead (every exact-top-k member that
+# shares a bucket must be emitted; see ann_verification_summary), and
+# the high-similarity retrieval contract stays pytest-pinned on
+# planted cos>0.99 twins (test_ann_recall_on_driver_tables).
+ANN_MIN_RECALL_LSH = 0.0
+ANN_MIN_RECALL_IVF = 0.4
+
+
 def e03_ann_topk(spark, sf_dir):
-    """LSH-bucketed approximate top-k (rows-only: approximate by
-    design). NOTE: the driver embeddings are unstructured random
-    vectors (nearest neighbors at cos ~0.36) — the worst case for any
-    sublinear ANN, so top-k overlap with brute force is inherently low
-    HERE; the contract ANN makes (high-similarity matches retrieved) is
-    pytest-pinned on planted cos>0.99 twins of driver vectors with
-    these exact parameters (test_ann_recall_on_driver_tables)."""
+    """LSH-bucketed approximate top-k, VERIFIED (VERDICT r4 #3): the
+    ANN row set is approximate by design, so the query returns the
+    machine-checkable per-query verification summary instead of raw
+    pairs — emitted-count, independent exact-cosine recompute matches,
+    rank consistency, the subset-top-k bound vs brute force, and
+    candidate soundness of the blocking join — all values DuckDB
+    derives from the input tables alone (see
+    ``similarity.ann_verification_summary`` and the recall-bar note
+    above)."""
     from batch_geocode_spark.operators import similarity as S
 
     _views(spark, sf_dir)
     emb = spark.table("embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return S.ann_lsh_topk(queries, emb, dim=64, k=5, n_tables=8, bits=8)
+    ann = S.ann_lsh_topk(queries, emb, dim=64, k=5, n_tables=8, bits=8)
+    cand = S.lsh_candidates(queries, emb, dim=64, n_tables=8, bits=8)
+    return S.ann_verification_summary(
+        ann, queries, emb, k=5, min_recall=ANN_MIN_RECALL_LSH, candidates=cand
+    )
 
 
 WIDE_PREFIXES = [f"{s}{r}" for s in ("FG", "GM", "GN", "OSM") for r in (1, 2)]
@@ -1505,19 +1530,49 @@ ORACLES["v01_vet_json_roundtrip"] = _wide_oracle()
 
 
 def e04_ivf_topk(spark, sf_dir):
-    """IVF ANN: k-means coarse quantizer + inverted-list probe + exact
-    rescoring (rows-only: approximate by design; see the e03 note on
-    the unstructured driver data — the high-similarity retrieval
-    contract is pytest-pinned with these exact parameters)."""
+    """IVF ANN (k-means coarse quantizer + inverted-list probe + exact
+    rescoring), VERIFIED: returns the same machine-checkable
+    verification summary as e03 (see the ANN_MIN_RECALL note; the
+    high-similarity retrieval contract is pytest-pinned with these
+    exact parameters)."""
     from batch_geocode_spark.operators import similarity as S
 
     _views(spark, sf_dir)
     emb = spark.table("embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return S.ivf_topk(queries, emb, dim=64, k=5, n_centroids=16, n_probe=4)
+    ann = S.ivf_topk(queries, emb, dim=64, k=5, n_centroids=16, n_probe=4)
+    return S.ann_verification_summary(
+        ann, queries, emb, k=5, min_recall=ANN_MIN_RECALL_IVF
+    )
 
 
 QUERIES["e04_ivf_topk"] = e04_ivf_topk
+
+
+def _ann_verify_oracle(extra_cols: str = "") -> str:
+    # The oracle's work is asserting the INVARIANTS: a correct ANN over
+    # this corpus emits exactly k=5 rows per query (enough candidates
+    # exist), every emitted cosine survives an independent exact
+    # recompute, ranks are 1..k with non-increasing cosine, no rank-r
+    # cosine exceeds the brute-force rank-r cosine, recall clears the
+    # documented bar (e04) and the blocking join is candidate-sound
+    # (e03). Any drift in the LSH/IVF candidate join, the rescoring
+    # arithmetic, or the window ranking flips a value and fails the
+    # hash.
+    return f"""
+    SELECT vec_id AS query_id,
+      CAST(5 AS BIGINT) AS n_emitted,
+      CAST(5 AS BIGINT) AS n_cos_verified,
+      TRUE AS ranks_ok,
+      TRUE AS bounded_ok,
+      TRUE AS recall_ok{extra_cols}
+    FROM embeddings WHERE vec_id < 10
+    ORDER BY query_id
+"""
+
+
+ORACLES["e03_ann_topk"] = _ann_verify_oracle(",\n      TRUE AS cand_sound_ok")
+ORACLES["e04_ivf_topk"] = _ann_verify_oracle()
 
 
 def d09_decontamination(spark, sf_dir):
@@ -1592,3 +1647,84 @@ ORACLES["d09_decontamination"] = rf"""
            COUNT(DISTINCT eval_doc_id) AS n_eval_docs
     FROM hits GROUP BY doc_id
 """
+
+
+def c01_curation_pipeline(spark, sf_dir):
+    """End-to-end curation flagship (VERDICT r4 #6): eval split → exact
+    dedup → MinHash clusters (keep min) → n-gram + semantic
+    decontamination → quality filter → stratified sample, composed from
+    the individually-oracle-checked d01/d05/d07/d09/e06/t02/d08
+    operators into ONE deterministic pipeline. base_hash='md5_60' makes
+    the MinHash stage cross-engine reproducible, so the WHOLE chain has
+    a DuckDB value oracle."""
+    from batch_geocode_spark.operators import curation as C
+
+    _views(spark, sf_dir)
+    docs = spark.table("documents").repartition(spark.sparkContext.defaultParallelism)
+    emb = spark.table("embeddings")
+    return C.curate_documents(docs, embeddings=emb, base_hash="md5_60")
+
+
+def _c01_oracle() -> str:
+    """Compose the existing stage templates into one DuckDB query: the
+    minhash pair CTE runs over the deduped corpus, the recursive closure
+    labels clusters, and the d09/e06/t02/d08 bodies apply in order."""
+    pairs_body = _d05_oracle(source="corpus1")
+    d09_terms = ", ".join(f"t[i+{j}]" for j in range(_D09_N))
+    return rf"""
+    WITH RECURSIVE
+    corpus0 AS (SELECT * FROM documents WHERE doc_id % 7 <> 0),
+    keep_exact AS (SELECT MIN(doc_id) AS doc_id FROM corpus0 GROUP BY md5(text)),
+    corpus1 AS (SELECT c.* FROM corpus0 c JOIN keep_exact k USING (doc_id)),
+    pairs AS ({pairs_body}),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b AS a, doc_a AS b FROM pairs),
+    nodes AS (SELECT DISTINCT a AS node FROM edges),
+    reach(node, lbl) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node),
+    comp AS (SELECT node, MIN(lbl) AS component FROM reach GROUP BY node),
+    drop_near AS (SELECT node AS doc_id FROM comp WHERE node <> component),
+    corpus2 AS (SELECT * FROM corpus1
+                WHERE doc_id NOT IN (SELECT doc_id FROM drop_near)),
+    toks9 AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+              FROM documents),
+    sh9 AS (SELECT DISTINCT doc_id, shingle FROM (
+      SELECT doc_id, unnest(list_transform(range(1, greatest(len(t) - {_D09_N - 2}, 1)),
+        i -> concat_ws(' ', {d09_terms}))) AS shingle
+      FROM toks9)),
+    ev9 AS (SELECT DISTINCT shingle FROM sh9 WHERE doc_id % 7 = 0),
+    leaks AS (SELECT DISTINCT s.doc_id FROM sh9 s
+              JOIN ev9 USING (shingle)
+              JOIN corpus2 c ON c.doc_id = s.doc_id),
+    corpus3 AS (SELECT * FROM corpus2
+                WHERE doc_id NOT IN (SELECT doc_id FROM leaks)),
+    v AS (SELECT vec_id, embedding,
+            sqrt(list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+          FROM embeddings),
+    sem AS (SELECT DISTINCT c.vec_id AS doc_id
+            FROM v c JOIN v e ON e.vec_id % 7 = 0 AND c.vec_id % 7 <> 0
+            WHERE list_sum(list_transform(range(1, len(c.embedding) + 1),
+                i -> CAST(c.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+                / (c.nrm * e.nrm) >= 0.45),
+    corpus4 AS (SELECT * FROM corpus3
+                WHERE doc_id NOT IN (SELECT doc_id FROM sem)),
+    corpus5 AS (SELECT * FROM corpus4
+                WHERE len(string_split_regex(trim(text), '\s+')) >= 5
+                  AND len(list_filter(string_split_regex(trim(text), '\s+'),
+                          t -> t = 'the' OR t = 'a'))
+                      * 1.0 / len(string_split_regex(trim(text), '\s+')) <= 0.5)
+    SELECT doc_id, lang, source
+    FROM corpus5
+    WHERE CAST(CAST(('0x' || substr(md5(concat('r2', CAST(doc_id AS STRING))), 1, 15))
+               AS UBIGINT) % 1000000 AS BIGINT)
+        < CASE lang WHEN 'fr' THEN 1000000 WHEN 'en' THEN 500000 ELSE 100000 END
+    """
+
+
+QUERIES["c01_curation_pipeline"] = c01_curation_pipeline
+ORACLES["c01_curation_pipeline"] = _c01_oracle()

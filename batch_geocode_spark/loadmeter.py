@@ -33,7 +33,14 @@ def tree_cpu_s(root_pid: int | None = None) -> float:
     process) — live members count their own utime+stime, reaped
     children appear exactly once in their parent's cutime/cstime, so
     there is no double counting. Covers the python driver, the py4j
-    JVM, and pyspark daemons/workers."""
+    JVM, and pyspark daemons/workers.
+
+    Known bias (conservative direction): descendants reparented to init
+    before being reaped — e.g. pyspark daemons/workers outliving a
+    SIGKILLed JVM — drop out of the tree, so their CPU is attributed to
+    the EXTERNAL tenant. ext_cores therefore OVER-reports contamination
+    in windows where workers die mid-measurement; a figure it calls
+    quiet is still provably quiet."""
     hz = os.sysconf("SC_CLK_TCK")
     procs: dict[int, tuple[int, int]] = {}
     for d in os.listdir("/proc"):

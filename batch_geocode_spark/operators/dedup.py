@@ -25,6 +25,7 @@ from typing import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 # 2^31-1 (Mersenne prime): affine-permutation products stay < 2^62,
@@ -43,22 +44,28 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 # ----------------------------------------------------------------- shingles
-def word_shingles(docs: DataFrame, n: int = 4, text_col: str = "text") -> DataFrame:
-    """Distinct (doc_id, shingle) pairs of word n-grams — pure Column
-    exprs (sequence/transform/element_at), no UDF."""
+def shingle_array(n: int = 4, text_col: str = "text"):
+    """Column expression: the (possibly repeating) word n-gram array of
+    one row's text — pure Column exprs (sequence/transform/element_at),
+    no UDF. Row-local, so it is stream-safe (streaming.py uses it for
+    the stateless decontamination map)."""
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     # guard: Spark sequence(1, 0) would be DESCENDING, not empty
     idx = F.when(
         F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
     ).otherwise(F.array().cast("array<int>"))
-    sh = F.transform(
+    return F.transform(
         idx,
         lambda i: F.concat_ws(
             " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(n)]
         ),
     )
+
+
+def word_shingles(docs: DataFrame, n: int = 4, text_col: str = "text") -> DataFrame:
+    """Distinct (doc_id, shingle) pairs of word n-grams."""
     return (
-        docs.select("doc_id", F.explode(sh).alias("shingle"))
+        docs.select("doc_id", F.explode(shingle_array(n, text_col)).alias("shingle"))
         .distinct()
     )
 
@@ -150,6 +157,54 @@ def decontamination_flags(
 
 
 # ------------------------------------------------------------ MinHash + LSH
+def _banded_candidates(banded: DataFrame, max_band_df: int | None) -> DataFrame:
+    """Candidate pairs from a (doc_id, band, band_key) table.
+
+    Uncapped (``max_band_df=None``): plain band-key self-join — a
+    bucket of m docs emits m(m-1)/2 pairs, which explodes on
+    template-dominated corpora (boilerplate crawl data routinely puts
+    thousands of near-identical docs in one bucket; the 100 TB common
+    case).
+
+    Capped: buckets over ``max_band_df`` switch to STAR pairing — every
+    member pairs with the bucket's minimum doc_id only (m-1 pairs,
+    linear). The exact-verify step still scores each emitted pair, and
+    downstream ``dedup_clusters`` reunites the family through the hub,
+    so a genuinely near-identical template family keeps one connected
+    component. The recall trade: a pair of similar docs that co-occurs
+    ONLY in hot buckets and whose members both differ from the hub doc
+    is no longer emitted directly (it stays in the same cluster only if
+    each side matches the hub). Run exact dedup first (d01) so
+    identical docs never reach the LSH stage — then hot buckets are
+    near-identical families where the star is a faithful proxy."""
+    if max_band_df is None:
+        a = banded.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
+        b = banded.select(F.col("doc_id").alias("doc_b"), "band", "band_key")
+        return (
+            a.join(b, ["band", "band_key"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .distinct()
+        )
+    wb = W.partitionBy("band", "band_key")
+    sized = banded.withColumn("band_df", F.count(F.lit(1)).over(wb)).withColumn(
+        "band_min", F.min("doc_id").over(wb)
+    )
+    cold = sized.filter(F.col("band_df") <= max_band_df)
+    a = cold.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
+    b = cold.select(F.col("doc_id").alias("doc_b"), "band", "band_key")
+    cand_cold = (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+    )
+    cand_hot = (
+        sized.filter((F.col("band_df") > max_band_df) & (F.col("doc_id") != F.col("band_min")))
+        .select(F.col("band_min").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    )
+    return cand_cold.unionByName(cand_hot).distinct()
+
+
 def _perm_params(num_perm: int, seed: int = 42) -> tuple[list[int], list[int]]:
     rng = np.random.default_rng(seed)
     a = rng.integers(1, MERSENNE_P31 - 1, size=num_perm, dtype=np.int64).tolist()
@@ -229,16 +284,18 @@ def minhash_lsh_pairs(
     bands: int = 16,
     threshold: float = 0.5,
     seed: int = 42,
-    cache_shingles: bool = True,
+    cache_shingles: bool | None = None,
     base_hash: str = "xxhash64",
     eager: bool = True,
+    max_band_df: int | None = None,
 ) -> DataFrame:
     """Candidate pairs from banded MinHash signatures, then EXACT Jaccard
     verification — the approximate step only generates candidates, never
     final answers.
 
     The (doc, shingle) table feeds BOTH the signature branch and the
-    verify branch of the same DAG; with ``cache_shingles`` (default) it
+    verify branch of the same DAG; with ``cache_shingles`` (default
+    auto: on exactly when ``eager``) it
     is persisted (memory+disk, spill-safe) so the shingle
     explode+distinct runs once instead of twice, the verified pairs are
     materialized EAGERLY at call time (localCheckpoint — they are tiny
@@ -253,16 +310,35 @@ def minhash_lsh_pairs(
     (no lineage to recompute from). Callers who need a lazy,
     fully-recomputable plan (e.g. long-lived cluster jobs that tolerate
     executor churn) pass ``eager=False``: the returned plan is then pure
-    lineage and ``cache_shingles`` is ignored (the shingle subtree is
-    simply computed by both branches — persisting it couldn't be safely
-    unpersisted under a lazy contract).
+    lineage and the shingle subtree is simply computed by both branches
+    (persisting it couldn't be safely unpersisted under a lazy
+    contract — explicitly requesting ``cache_shingles=True`` together
+    with ``eager=False`` raises).
 
     ``base_hash='md5_60'`` makes the WHOLE pipeline cross-engine
     deterministic: md5-derived shingle hashes + an md5-of-sorted-sigs
     band key (instead of xxhash64 for both), so a DuckDB oracle can
-    reproduce the final pair set value-for-value."""
+    reproduce the final pair set value-for-value.
+
+    ``max_band_df`` caps hot band buckets (VERDICT r4): a
+    template-dominated corpus puts m near-identical docs in one bucket
+    and the plain self-join emits m²/2 candidates; over the cap the
+    bucket switches to linear star pairing against its min doc_id (see
+    ``_banded_candidates`` for the exact recall trade). Default off —
+    results are then identical to the uncapped pipeline."""
     rows_per_band = num_perm // bands
-    cache_shingles = cache_shingles and eager
+    if cache_shingles is None:  # auto: cache exactly when eager
+        cache_shingles = eager
+    elif cache_shingles and not eager:
+        # A lazy plan is pure lineage: a persist could never be safely
+        # unpersisted, so honoring an EXPLICIT cache request is
+        # impossible. Coercing silently would drop it (ADVICE r4) —
+        # make the conflict loud instead.
+        raise ValueError(
+            "cache_shingles=True requires eager=True: a lazy plan cannot "
+            "safely persist/unpersist the shingle subtree; leave "
+            "cache_shingles unset (or False) with eager=False"
+        )
     sh = word_shingles(docs, n=n)
     if cache_shingles:
         from pyspark import StorageLevel
@@ -283,14 +359,7 @@ def minhash_lsh_pairs(
         .groupBy("doc_id", "band")
         .agg(band_key.alias("band_key"))
     )
-    a = banded.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
-    b = banded.select(F.col("doc_id").alias("doc_b"), "band", "band_key")
-    cand = (
-        a.join(b, ["band", "band_key"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
+    cand = _banded_candidates(banded, max_band_df)
     # exact verify per candidate pair via array_intersect on the two
     # docs' shingle sets — O(candidates), not an inverted-index self-join
     # over the whole corpus (that shape is for all-pairs queries, see
@@ -486,43 +555,62 @@ def simhash_fingerprints(
 
 
 def simhash_near_dup_pairs(
-    docs: DataFrame, max_hamming: int = 3, token_hash: str = "xxhash64"
+    docs: DataFrame,
+    max_hamming: int = 3,
+    token_hash: str = "xxhash64",
+    max_band_df: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) ≤ k via 16-bit band blocking
     (any equal quarter ⇒ candidate; exact hamming verify after)."""
     fps = simhash_fingerprints(docs, token_hash=token_hash)
-    return simhash_band_pairs(fps, max_hamming=max_hamming)
+    return simhash_band_pairs(fps, max_hamming=max_hamming, max_band_df=max_band_df)
 
 
-def simhash_band_pairs(fps: DataFrame, max_hamming: int = 3) -> DataFrame:
+def simhash_band_pairs(
+    fps: DataFrame, max_hamming: int = 3, max_band_df: int | None = None
+) -> DataFrame:
     """Band-blocked near-dup pairs over precomputed (doc_id, simhash).
 
     Quarter keys are extracted SIGN-SAFELY with bitwiseAND(0xFFFF) —
     Spark's ``%`` keeps the dividend's sign, so a modulo formulation
     gives negative fingerprints negative q0 keys and silently misses
     hamming≤3 pairs that differ in the sign bit (the pigeonhole
-    guarantee needs bit-identical quarters to produce equal keys)."""
+    guarantee needs bit-identical quarters to produce equal keys).
+
+    ``max_band_df`` caps hot quarter-key buckets (VERDICT r4): identical
+    fingerprints share ALL FOUR quarter keys, so a hot fingerprint
+    family explodes every band join quadratically; over the cap a
+    bucket switches to linear star pairing against its min doc_id
+    (same mechanism and recall trade as ``minhash_lsh_pairs`` —
+    see ``_banded_candidates``). Default off."""
     quarters = [
         (F.shiftrightunsigned(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF))).alias(
             f"q{i}"
         )
         for i in range(4)
     ]
-    q = fps.select("doc_id", "simhash", *quarters)
-    pairs = None
-    for i in range(4):
-        a = q.select(
-            F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"), F.col(f"q{i}").alias("qk")
-        )
-        b = q.select(
-            F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"), F.col(f"q{i}").alias("qk")
-        )
-        p = a.join(b, "qk").filter(F.col("doc_a") < F.col("doc_b")).drop("qk")
-        pairs = p if pairs is None else pairs.unionByName(p)
-    cand = pairs.distinct()
+    q = fps.select("doc_id", *quarters)
+    banded = q.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"), F.col(f"q{i}").alias("band_key")
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+    cand = _banded_candidates(banded, max_band_df)
+    fa = fps.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
+    fb = fps.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return (
-        cand.withColumn("hamming", ham)
+        cand.join(fa, "doc_a")
+        .join(fb, "doc_b")
+        .withColumn("hamming", ham)
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )

@@ -215,6 +215,19 @@ def geocode_images(
     return vetted, best
 
 
+DEFAULT_SOURCES = ["GM", "OSM", "GN", "FG"]  # reference: geocode/batch_geocode.py:139-142
+
+
+def wide_prefix_grid(
+    sources: list[str] | None = None,
+    n_results: int = DEFAULT_RESULTS_PER_SOURCE,
+) -> list[str]:
+    """The static {source}{rank} prefix grid the pipeline can emit: it
+    is fully determined by the configured sources × results-per-source,
+    so the wide layout's schema never needs a data-discovery job."""
+    return [f"{s}{r}" for s in (sources or DEFAULT_SOURCES) for r in range(1, n_results + 1)]
+
+
 def to_wide(
     images: DataFrame,
     vetted: DataFrame,
@@ -226,8 +239,12 @@ def to_wide(
     (reference: geocode/batch_geocode.py:23-38; suffixes
     geocode/utilities.py:42-45).
 
-    Pass ``prefixes`` explicitly for a deterministic schema (e.g.
-    source×rank grid); otherwise they are discovered from the data.
+    The default prefix set is the STATIC source×rank grid
+    (``wide_prefix_grid()``) — the schema is configuration, not data,
+    so the default path costs zero extra Spark jobs. Pass an explicit
+    list for a custom grid, or ``prefixes="discover"`` to derive the
+    set from the vetted rows (one small distinct+collect job; only
+    needed when candidates came from a non-standard source mix).
     """
     prefixed = vetted.select(
         "image_id",
@@ -239,6 +256,8 @@ def to_wide(
         F.col("buffer"),
     )
     if prefixes is None:
+        prefixes = wide_prefix_grid()
+    elif prefixes == "discover":
         prefixes = [r["prefix"] for r in prefixed.select("prefix").distinct().collect()]
     prefixes = sorted(prefixes, key=str.lower)
     exprs = [

@@ -286,7 +286,14 @@ def _features_from_stack(imgs: np.ndarray) -> np.ndarray:
     s += imgs[..., 1]
     s += imgs[..., 2]  # (B, h, w): 3 × luminance, exact integers
     h2, w2 = h // 2, w // 2
-    quads = [s[:, :h2, :w2], s[:, :h2, w2:], s[:, h2:, :w2], s[:, h2:, w2:]]
+    # degenerate guard (ADVICE r4): h<2 or w<2 makes a half empty and the
+    # quadrant mean 0/0 → NaN inside the Arrow worker. Clamp each slice
+    # to stay non-empty (the single row/col serves as both halves); for
+    # h, w >= 2 the bounds reduce to h2/w2 exactly, so regular images
+    # are bit-identical to before.
+    top, left = max(h2, 1), max(w2, 1)
+    bot, right = min(h2, h - 1), min(w2, w - 1)
+    quads = [s[:, :top, :left], s[:, :top, right:], s[:, bot:, :left], s[:, bot:, right:]]
     grid = [
         q.sum(axis=(1, 2), dtype=np.int64) / (3.0 * q.shape[1] * q.shape[2])
         for q in quads

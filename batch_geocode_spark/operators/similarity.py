@@ -106,6 +106,32 @@ def hyperplane_signatures(
     )
 
 
+def lsh_candidates(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    n_tables: int = 6,
+    bits: int = 10,
+    seed: int = 42,
+) -> DataFrame:
+    """The LSH blocking step alone: distinct (query_id, corpus_id)
+    pairs sharing ≥1 (table, bucket). Deterministic given the seed —
+    the verification summary recomputes it to check candidate
+    soundness (``ann_verification_summary``)."""
+    qs = hyperplane_signatures(queries, dim, n_tables, bits, seed).withColumnsRenamed(
+        {"vec_id": "query_id"}
+    )
+    cs = hyperplane_signatures(corpus, dim, n_tables, bits, seed).withColumnsRenamed(
+        {"vec_id": "corpus_id"}
+    )
+    return (
+        qs.join(cs, ["table", "bucket"])
+        .filter(F.col("query_id") != F.col("corpus_id"))
+        .select("query_id", "corpus_id")
+        .distinct()
+    )
+
+
 def ann_lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -118,18 +144,7 @@ def ann_lsh_topk(
     """Approximate top-k: LSH-bucket candidate join, exact cosine on
     candidates, per-query top-k. Recall grows with n_tables / falls with
     bits; tune per corpus density."""
-    qs = hyperplane_signatures(queries, dim, n_tables, bits, seed).withColumnsRenamed(
-        {"vec_id": "query_id"}
-    )
-    cs = hyperplane_signatures(corpus, dim, n_tables, bits, seed).withColumnsRenamed(
-        {"vec_id": "corpus_id"}
-    )
-    cand = (
-        qs.join(cs, ["table", "bucket"])
-        .filter(F.col("query_id") != F.col("corpus_id"))
-        .select("query_id", "corpus_id")
-        .distinct()
-    )
+    cand = lsh_candidates(queries, corpus, dim, n_tables, bits, seed)
     q = queries.select(
         F.col("vec_id").alias("query_id"), _as_double(F.col("embedding")).alias("qv")
     ).withColumn("qn", _norm(F.col("qv")))
@@ -147,6 +162,137 @@ def ann_lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "corpus_id", F.round("cos_sim", 6).alias("cos_sim"), "rank")
     )
+
+
+def ann_verification_summary(
+    ann: DataFrame,
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    min_recall: float = 0.0,
+    tol: float = 2e-6,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Machine-checkable verification of an approximate top-k result
+    (VERDICT r4 #3: closes the e03/e04 ``no_oracle`` gap).
+
+    An ANN result is approximate by design, so a value oracle cannot
+    reproduce its row set — but every CORRECT ANN result satisfies
+    invariants an independent engine can assert. This reduces the ANN
+    output to one row per query whose expected values are derivable
+    from the input tables alone:
+
+    - ``n_emitted``: rows per query (contract: exactly ``k`` on a
+      corpus with enough candidates),
+    - ``n_cos_verified``: emitted pairs whose stored cosine matches an
+      INDEPENDENT exact recompute from the raw embeddings (must equal
+      ``n_emitted`` — catches candidate-join vector corruption),
+    - ``ranks_ok``: ranks are exactly 1..n with cosine non-increasing,
+    - ``bounded_ok``: the rank-r approximate cosine never exceeds the
+      rank-r EXACT cosine (mathematical invariant of any subset top-k
+      vs the brute-force top-k — ``brute_force_topk`` is the e01-family
+      operator, value-checked by its own oracle on the same tables),
+    - ``recall_ok``: |ANN ∩ exact top-k| ≥ ceil(min_recall · k),
+    - ``cand_sound_ok`` (only when ``candidates`` — the (query_id,
+      corpus_id) candidate pairs the ANN's blocking step generated —
+      is passed): every exact-top-k member that IS a candidate appears
+      in the ANN output. This is the invariant that pins the blocking
+      join itself: an exact-top-k member among the candidates has a
+      top-k cosine among them by definition, so a correct rescore MUST
+      emit it — a violation means the candidate join or the rescoring
+      dropped rows. It stays meaningful even when recall is inherently
+      low (unstructured corpora, the LSH worst case).
+
+    Verification cost: one brute-force pass over the corpus (broadcast
+    query side) + joins against the tiny ANN output — this is a
+    verification query, not the serving path."""
+    ann = ann.select("query_id", "corpus_id", "cos_sim", "rank")
+    q = queries.select(
+        F.col("vec_id").alias("query_id"), _as_double(F.col("embedding")).alias("qv")
+    ).withColumn("qn", _norm(F.col("qv")))
+    c = corpus.select(
+        F.col("vec_id").alias("corpus_id"), _as_double(F.col("embedding")).alias("cv")
+    ).withColumn("cn", _norm(F.col("cv")))
+    re_pairs = (
+        ann.join(F.broadcast(q), "query_id")
+        .join(c, "corpus_id")
+        .withColumn("exact_cos", _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")))
+        .select(
+            "query_id",
+            "corpus_id",
+            "cos_sim",
+            "rank",
+            (F.abs(F.col("cos_sim") - F.col("exact_cos")) <= tol).alias("cos_match"),
+        )
+    )
+    exact = brute_force_topk(queries, corpus, k=k)
+    hits = exact.select(
+        "query_id", "corpus_id", F.lit(True).alias("in_exact")
+    )
+    bounds = exact.select(
+        "query_id", F.col("rank").alias("rank"), F.col("cos_sim").alias("exact_rank_cos")
+    )
+    joined = (
+        re_pairs.join(hits, ["query_id", "corpus_id"], "left")
+        .join(bounds, ["query_id", "rank"], "left")
+    )
+    w = W.partitionBy("query_id").orderBy(F.asc("rank"))
+    prev_cos = F.lag("cos_sim").over(w)
+    flagged = joined.withColumn(
+        "rank_step_ok",
+        # ranks within a query must be a prefix of 1,2,3,... with
+        # cosine non-increasing along it
+        (F.col("rank") == F.row_number().over(w))
+        & (prev_cos.isNull() | (F.col("cos_sim") <= prev_cos + tol)),
+    ).withColumn(
+        "bound_ok",
+        # subset-top-k invariant; exact_rank_cos is null only if the
+        # exact list was shorter than the ann list (then n_emitted
+        # disagrees with the oracle anyway)
+        F.col("exact_rank_cos").isNotNull()
+        & (F.col("cos_sim") <= F.col("exact_rank_cos") + tol),
+    )
+    need = int(np.ceil(min_recall * k))
+    summary = flagged.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_emitted"),
+        F.count(F.when(F.col("cos_match"), 1)).alias("n_cos_verified"),
+        F.min("rank_step_ok").alias("ranks_ok"),
+        F.min("bound_ok").alias("bounded_ok"),
+        (F.count(F.when(F.col("in_exact"), 1)) >= need).alias("recall_ok"),
+    )
+    if candidates is not None:
+        ex_cand = exact.join(
+            candidates.select("query_id", "corpus_id"),
+            ["query_id", "corpus_id"],
+            "left_semi",
+        ).select("query_id", "corpus_id")
+        in_ann = ex_cand.join(
+            ann.select("query_id", "corpus_id"),
+            ["query_id", "corpus_id"],
+            "left_semi",
+        )
+        sound = (
+            ex_cand.groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("n_exact_cand"))
+            .join(
+                in_ann.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_in_ann")),
+                "query_id",
+                "left",
+            )
+            .select(
+                "query_id",
+                (F.col("n_exact_cand") == F.coalesce(F.col("n_in_ann"), F.lit(0))).alias(
+                    "cand_sound_ok"
+                ),
+            )
+        )
+        summary = summary.join(sound, "query_id", "left").withColumn(
+            # a query whose exact top-k shares no bucket has nothing to
+            # violate — vacuously sound
+            "cand_sound_ok",
+            F.coalesce(F.col("cand_sound_ok"), F.lit(True)),
+        )
+    return summary.orderBy("query_id")
 
 
 def semantic_decontamination(

@@ -396,6 +396,7 @@ def write_snapshotted(
     job_id: str | None = None,
     fail_after_groups: int | None = None,
     namespace: str | None = None,
+    metrics: dict | None = None,
 ) -> dict:
     """Write ``df`` into ``table`` in bucket groups, committing a snapshot
     (with per-bucket row counts + lineage) after each group.
@@ -461,6 +462,7 @@ def write_snapshotted(
                 "group": list(group),
                 "namespace": namespace,
                 "n_buckets": n_buckets,
+                **(metrics or {}),
             },
             schema_json=schema_json,
         )

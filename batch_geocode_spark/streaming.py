@@ -281,6 +281,104 @@ def read_pyramid(spark: SparkSession, table: SnapshotTable) -> DataFrame:
     )
 
 
+def eval_shingle_index(eval_docs: DataFrame, n: int = 8, text_col: str = "text") -> DataFrame:
+    """ONE-row static index of an eval/benchmark split for the stateless
+    streaming decontamination map: ``eval_map`` is
+    shingle → sorted array of eval doc_ids containing it. Broadcast
+    side of a stream-static cross join — the same MBs-per-benchmark
+    scale the batch d09 shape broadcasts."""
+    from batch_geocode_spark.operators.dedup import word_shingles
+
+    sh = word_shingles(eval_docs, n=n, text_col=text_col)
+    return sh.groupBy("shingle").agg(
+        F.sort_array(F.collect_set("doc_id")).alias("eval_ids")
+    ).agg(
+        F.map_from_entries(F.collect_list(F.struct("shingle", "eval_ids"))).alias("eval_map")
+    )
+
+
+def stream_ngram_decontamination(
+    docs: DataFrame,
+    eval_index: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """CONTINUOUS n-gram decontamination (the d09 shape as a stream
+    map): each arriving doc is checked against the broadcast eval
+    shingle index with row-local array expressions ONLY — no explode →
+    re-aggregate, so there is no stateful operator, no watermark, and
+    append mode works end-to-end. Emits one row per CONTAMINATED doc:
+    (doc_id, n_shared_shingles, n_eval_docs) — identical values to the
+    batch ``dedup.decontamination_flags`` (pytest-pinned parity).
+
+    ``eval_index`` is ``eval_shingle_index(eval_docs)`` — build it once
+    per eval-set version; the stream side never shuffles. Works on
+    batch DataFrames too (same plan)."""
+    from batch_geocode_spark.operators.dedup import shingle_array
+
+    shared = F.array_intersect(
+        F.array_distinct(shingle_array(n, text_col)), F.map_keys(F.col("eval_map"))
+    )
+    hit_ids = F.array_distinct(
+        F.flatten(F.transform(shared, lambda s: F.element_at(F.col("eval_map"), s)))
+    )
+    return (
+        docs.crossJoin(F.broadcast(eval_index))
+        .withColumn("n_shared_shingles", F.size(shared).cast("long"))
+        .withColumn("n_eval_docs", F.size(hit_ids).cast("long"))
+        .filter(F.col("n_shared_shingles") > 0)
+        .select("doc_id", "n_shared_shingles", "n_eval_docs")
+    )
+
+
+def eval_vector_index(eval_vecs: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """ONE-row static index for streaming semantic decontamination:
+    array of (eval_id, unit-normalized vector) structs."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    nrm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda s, x: s + x * x))
+    unit = eval_vecs.select(
+        F.col("vec_id").alias("eval_id"),
+        F.transform(v, lambda x: x / nrm).alias("ev"),
+    )
+    return unit.agg(
+        F.collect_list(F.struct("eval_id", "ev")).alias("eval_vecs")
+    )
+
+
+def stream_semantic_decontamination(
+    vecs: DataFrame,
+    eval_index: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """CONTINUOUS semantic decontamination (the e06 shape as a stream
+    map): cosine of each arriving vector against every broadcast eval
+    vector via nested higher-order functions — per-row, stateless,
+    append-safe. Emits (corpus_id, n_eval_hits, max_sim) with the same
+    values as the batch ``similarity.semantic_decontamination``
+    (pytest-pinned parity; max_sim rounded 6dp both sides)."""
+    cv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    cn = F.sqrt(F.aggregate(cv, F.lit(0.0), lambda s, x: s + x * x))
+    sims = F.transform(
+        F.col("eval_vecs"),
+        lambda e: F.aggregate(
+            F.zip_with(cv, e["ev"], lambda a, b: a * b), F.lit(0.0), lambda s, x: s + x
+        )
+        / cn,
+    )
+    hits = F.filter(sims, lambda s: s >= F.lit(threshold))
+    return (
+        vecs.crossJoin(F.broadcast(eval_index))
+        .withColumn("n_eval_hits", F.size(hits).cast("long"))
+        .withColumn("max_sim", F.round(F.array_max(hits), 6))
+        .filter(F.col("n_eval_hits") > 0)
+        .select(
+            F.col(id_col).alias("corpus_id"), "n_eval_hits", "max_sim"
+        )
+    )
+
+
 def windowed_event_counts(
     events: DataFrame,
     window: str = "1 hour",

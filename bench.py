@@ -35,6 +35,7 @@ HEADLINE = [
     "e02_cosine_near_dup",
     "d05_minhash_lsh",
     "t02_quality_scores",
+    "c01_curation_pipeline",
 ]
 
 
@@ -203,4 +204,20 @@ def run(sf_dir: str, cpus: str) -> dict:
 if __name__ == "__main__":
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    print(json.dumps(run(sf_dir, cpus)))
+    rep = run(sf_dir, cpus)
+    # The driver captures only the tail of stdout (~2000 chars): the full
+    # per-attempt measurement evidence goes to a sidecar file and the
+    # LAST line printed is the compact headline JSON (round-4 BENCH came
+    # back "parsed": null because the one line outgrew the capture).
+    evidence_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH", "bench_evidence.json"
+    )
+    os.makedirs(os.path.dirname(evidence_path), exist_ok=True)
+    with open(evidence_path, "w") as f:
+        json.dump(rep, f, indent=1)
+    compact = {k: v for k, v in rep.items() if k != "measurement"}
+    compact["stress"] = {
+        k: rep["stress"][k] for k in ("chain_dedup_sec", "clusters_correct")
+    }
+    compact["evidence_file"] = "BENCH/bench_evidence.json"
+    print(json.dumps(compact))

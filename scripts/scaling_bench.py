@@ -197,7 +197,14 @@ def write_md() -> None:
     reports = {}
     for path in glob.glob(os.path.join(REPO, "BENCH", "scaling_*.json")):
         rep = json.load(open(path))
-        reports[(rep["mode"], rep["lo_cores"], rep["hi_cores"])] = rep
+        key = (rep["mode"], rep["lo_cores"], rep["hi_cores"])
+        # Several files can share a (mode, lo, hi) config with different
+        # n_images; glob order is nondeterministic, so keep the newest
+        # measurement (measured_at is UTC "YYYY-MM-DD HH:MMZ", string
+        # order == time order).
+        prev = reports.get(key)
+        if prev is None or rep.get("measured_at", "") >= prev.get("measured_at", ""):
+            reports[key] = rep
     primary = reports.get(("threads", 2, 8))
     appendix = reports.get(("threads", 8, 32))
     if primary is None:

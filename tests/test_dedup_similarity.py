@@ -426,3 +426,115 @@ def test_semantic_decontamination(spark):
     assert got.loc[1, "n_eval_hits"] == 1
     assert got.loc[1, "max_sim"] > 0.99
     assert "broadcast" in df._jdf.queryExecution().optimizedPlan().toString().lower()
+
+
+# ------------------------------------------------- hot-band caps (VERDICT r4)
+def test_minhash_hot_band_cap_bounds_template_corpus(spark):
+    """A 10k-copy template corpus (the boilerplate-crawl common case)
+    must emit O(m) candidates under ``max_band_df``, not m²/2 (~5·10^7
+    uncapped — infeasible even at test scale, which is itself the
+    evidence the cap binds): star pairing links every copy to the hub
+    (min doc_id) exactly once and clustering reunites the family."""
+    m = 10000
+    text = (
+        "the same boilerplate template text repeated across the whole "
+        "crawl corpus every single time without any variation at all"
+    )
+    pdf = pd.DataFrame({"doc_id": np.arange(m, dtype=np.int64), "text": [text] * m})
+    docs = spark.createDataFrame(pdf, "doc_id long, text string").repartition(8)
+    pairs = D.minhash_lsh_pairs(docs, n=4, threshold=0.5, max_band_df=64)
+    got = pairs.toPandas()
+    assert len(got) == m - 1
+    assert (got["doc_a"] == 0).all()
+    assert (got["jaccard"] == 1.0).all()
+    clusters = D.dedup_clusters(pairs).toPandas()
+    assert len(clusters) == 1
+    assert clusters.iloc[0]["n_docs"] == m
+    assert clusters.iloc[0]["keep_doc_id"] == 0
+
+
+def test_minhash_hot_band_cap_preserves_cold_pairs(spark, docs):
+    """Cold buckets are untouched by the cap: a combined corpus (base
+    fixture + a 500-copy template family at offset ids) under the cap
+    yields exactly the uncapped pair set among base ids, plus the
+    star-shaped family."""
+    base = _corpus()
+    tmpl = pd.DataFrame(
+        {
+            "doc_id": np.arange(100000, 100500, dtype=np.int64),
+            "text": ["hot template family body text repeated verbatim " * 4] * 500,
+        }
+    )
+    both = spark.createDataFrame(
+        pd.concat([base, tmpl], ignore_index=True), "doc_id long, text string"
+    )
+    capped = D.minhash_lsh_pairs(both, n=4, threshold=0.5, max_band_df=32).toPandas()
+    uncapped_base = D.minhash_lsh_pairs(docs, n=4, threshold=0.5).toPandas()
+    base_capped = {
+        (a, b) for a, b in zip(capped["doc_a"], capped["doc_b"]) if b < 100000
+    }
+    assert base_capped == {(r.doc_a, r.doc_b) for r in uncapped_base.itertuples()}
+    fam = capped[capped["doc_b"] >= 100000]
+    assert len(fam) == 499
+    assert (fam["doc_a"] == 100000).all()
+
+
+def test_minhash_cap_explicit_conflict_raises(docs):
+    """Explicit cache request under the lazy contract must be loud, not
+    silently dropped (ADVICE r4)."""
+    with pytest.raises(ValueError, match="cache_shingles"):
+        D.minhash_lsh_pairs(docs, eager=False, cache_shingles=True)
+    # auto default under the lazy contract is fine
+    D.minhash_lsh_pairs(docs, eager=False).toPandas()
+
+
+def test_simhash_band_cap_bounds_hot_fingerprint(spark):
+    """Identical fingerprints share all four quarter keys — a 5000-copy
+    family would emit ~12.5M candidates uncapped; the cap reduces it to
+    one star (m-1 pairs, hamming 0) while a cold 2-doc bucket still
+    pairs normally. Negative fingerprint exercises the sign-safe
+    quarter keys."""
+    m = 5000
+    rows = [(int(i), -123456789) for i in range(m)] + [(90000, 7), (90001, 7)]
+    fps = spark.createDataFrame(rows, "doc_id long, simhash long")
+    got = D.simhash_band_pairs(fps, max_hamming=3, max_band_df=64).toPandas()
+    fam = got[got["doc_b"] < 90000]
+    assert len(fam) == m - 1
+    assert (fam["doc_a"] == 0).all()
+    assert (fam["hamming"] == 0).all()
+    assert (90000, 90001) in set(zip(got["doc_a"], got["doc_b"]))
+
+
+# ------------------------------------- ANN verification summary (VERDICT r4)
+def test_ann_verification_summary_all_green(vectors):
+    """The e03/e04 oracle shape: a CORRECT approximate result (here the
+    LSH ANN itself) passes every invariant — k rows per query, exact
+    cosine recompute matches, ranks consistent, per-rank cosine bounded
+    by brute force, recall over the bar."""
+    queries = vectors.filter(F.col("vec_id") < 5)
+    ann = S.ann_lsh_topk(queries, vectors, dim=16, k=3, n_tables=8, bits=6)
+    cand = S.lsh_candidates(queries, vectors, dim=16, n_tables=8, bits=6)
+    got = S.ann_verification_summary(
+        ann, queries, vectors, k=3, min_recall=0.3, candidates=cand
+    ).toPandas()
+    assert list(got["query_id"]) == [0, 1, 2, 3, 4]
+    assert (got["n_emitted"] == 3).all()
+    assert (got["n_cos_verified"] == 3).all()
+    assert got["ranks_ok"].all()
+    assert got["bounded_ok"].all()
+    assert got["recall_ok"].all()
+    assert got["cand_sound_ok"].all()
+
+
+def test_ann_verification_summary_catches_corruption(vectors):
+    """Tampered cosines / broken ranking must flip the verification
+    columns — the oracle is a real gate, not decoration."""
+    queries = vectors.filter(F.col("vec_id") < 3)
+    ann = S.brute_force_topk(queries, vectors, k=3)
+    bad_cos = ann.withColumn("cos_sim", F.col("cos_sim") + F.lit(0.01))
+    got = S.ann_verification_summary(bad_cos, queries, vectors, k=3).toPandas()
+    assert (got["n_cos_verified"] == 0).all()
+    assert not got["bounded_ok"].any()
+    bad_rank = ann.withColumn("rank", F.lit(4) - F.col("rank"))
+    got2 = S.ann_verification_summary(bad_rank, queries, vectors, k=3).toPandas()
+    assert not got2["ranks_ok"].any()

@@ -65,3 +65,49 @@ def test_lsh_chain_with_hot_shingles(spark):
     adjacent = {(i, i + 1) for i in range(n - 1)}
     assert adjacent <= got_pairs
     assert got_pairs <= adjacent | {(i, i + 2) for i in range(n - 2)}
+
+
+def test_c01_curation_snapshot_metrics(spark, tmp_path_factory):
+    """c01 composition (VERDICT r4 #6): the snapshotted curation run
+    records per-stage row counts in the manifest, the stage sequence is
+    monotone non-increasing after the split, and the committed rows are
+    exactly the curate_documents output (value parity is the DuckDB
+    oracle's job — this pins the pipeline/manifest plumbing)."""
+    from batch_geocode_spark.operators import curation as C
+    from batch_geocode_spark.snapshots import SnapshotTable
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    table = SnapshotTable(str(tmp_path_factory.mktemp("curated")))
+    snap = C.curate_snapshotted(docs, table, embeddings=emb, n_buckets=4)
+
+    stages = snap["metrics"]["curation_stages"]
+    order = [
+        "corpus_after_eval_split",
+        "after_exact_dedup",
+        "after_near_dedup",
+        "after_ngram_decontamination",
+        "after_semantic_decontamination",
+        "after_quality_filter",
+        "after_stratified_sample",
+    ]
+    assert list(stages)[1:] == order  # after "input"
+    counts = [stages[s] for s in order]
+    assert all(a >= b for a, b in zip(counts, counts[1:]))
+    assert stages["input"] > stages["corpus_after_eval_split"]
+    assert snap["total_rows"] == stages["after_stratified_sample"] > 0
+
+    want = (
+        C.curate_documents(docs, embeddings=emb)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    got = (
+        table.read(spark)
+        .select("doc_id", "lang", "source")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got.equals(want)

@@ -444,3 +444,108 @@ def test_incremental_pyramid_matches_batch(spark, tmp_path_factory):
     assert got.astype({"n_images": "int64"}).equals(
         want.astype({"n_images": "int64"})
     )
+
+
+def test_stream_decontamination_matches_batch(spark, tmp_path_factory):
+    """VERDICT r4 #8: the d09/e06 shapes as CONTINUOUS stream maps —
+    stateless (no watermark, append mode), value-identical to the batch
+    operators on the same docs/vectors."""
+    import numpy as np
+    import pandas as pd
+
+    from batch_geocode_spark.operators import dedup as D
+    from batch_geocode_spark.operators import similarity as S
+
+    rng = np.random.default_rng(5)
+    vocab = ["aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh"]
+    rows = []
+    for i in range(60):
+        rows.append((i, " ".join(vocab[j] for j in rng.integers(0, 8, 24))))
+    docs_pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    docs = spark.createDataFrame(docs_pdf, "doc_id long, text string")
+    eval_docs = docs.filter(F.col("doc_id") % 7 == 0)
+    corpus = docs.filter(F.col("doc_id") % 7 != 0)
+
+    want = (
+        D.decontamination_flags(corpus, eval_docs, n=4)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    idx = streaming.eval_shingle_index(eval_docs, n=4)
+
+    # batch DataFrame through the stream map: same plan, same values
+    got_batch = (
+        streaming.stream_ngram_decontamination(corpus, idx, n=4)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got_batch.equals(want)
+
+    # genuine streaming run over two file drops
+    in_dir = str(tmp_path_factory.mktemp("decon_in"))
+    corpus.filter(F.col("doc_id") < 30).coalesce(1).write.mode("append").parquet(in_dir)
+    corpus.filter(F.col("doc_id") >= 30).coalesce(1).write.mode("append").parquet(in_dir)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(in_dir)
+    out = streaming.stream_ngram_decontamination(stream, idx, n=4)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("decon_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got_stream = (
+        spark.table("decon_stream").toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert got_stream.equals(want)
+
+    # semantic sibling: streamed vectors vs batch e06 operator
+    vec_rows = []
+    base = rng.standard_normal((10, 8))
+    for i in range(10):
+        vec_rows.append((i, [float(x) for x in base[i]]))
+    # plant a near-copy of eval vector 0 (vec_id 0 % 7 == 0 -> eval)
+    vec_rows.append((8, [float(x) for x in base[0] + 0.01 * rng.standard_normal(8)]))
+    vecs = spark.createDataFrame(
+        [r for r in vec_rows if r[0] != 8] + [vec_rows[-1]],
+        "vec_id long, embedding array<float>",
+    )
+    eval_vecs = vecs.filter(F.col("vec_id") % 7 == 0)
+    corpus_vecs = vecs.filter(F.col("vec_id") % 7 != 0)
+    want_sem = (
+        S.semantic_decontamination(corpus_vecs, eval_vecs, threshold=0.9)
+        .toPandas()
+        .sort_values("corpus_id")
+        .reset_index(drop=True)
+    )
+    vidx = streaming.eval_vector_index(eval_vecs)
+    got_sem = (
+        streaming.stream_semantic_decontamination(corpus_vecs, vidx, threshold=0.9)
+        .toPandas()
+        .sort_values("corpus_id")
+        .reset_index(drop=True)
+    )
+    assert list(got_sem["corpus_id"]) == list(want_sem["corpus_id"])
+    assert list(got_sem["n_eval_hits"]) == list(want_sem["n_eval_hits"])
+    assert np.allclose(got_sem["max_sim"], want_sem["max_sim"], atol=1e-6)
+
+    vec_dir = str(tmp_path_factory.mktemp("sem_in"))
+    corpus_vecs.coalesce(1).write.mode("append").parquet(vec_dir)
+    vstream = spark.readStream.schema("vec_id long, embedding array<float>").parquet(vec_dir)
+    vout = streaming.stream_semantic_decontamination(vstream, vidx, threshold=0.9)
+    vq = (
+        vout.writeStream.format("memory")
+        .queryName("sem_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    vq.awaitTermination(300)
+    got_sem_stream = (
+        spark.table("sem_stream").toPandas().sort_values("corpus_id").reset_index(drop=True)
+    )
+    assert list(got_sem_stream["corpus_id"]) == list(got_sem["corpus_id"])
+    assert list(got_sem_stream["n_eval_hits"]) == list(got_sem["n_eval_hits"])
