@@ -1296,6 +1296,86 @@ def g14_tile_pyramid(spark, sf_dir):
     return R.tile_pyramid(dens, levels=(TILE_RES, 6, 3))
 
 
+def g15_raster_roundtrip(spark, sf_dir):
+    """A7 raster↔vector round trip: res-9 cell densities assembled into
+    per-tile PGM16 raster blobs (vector→raster), then decoded back into
+    per-cell rows (raster→vector, ``tiles.raster_blobs_to_cells``). The
+    round trip is exact for counts ≤ 65535, so the oracle is simply the
+    direct g04 density SQL — any dropped pixel, mis-placed coordinate,
+    or codec defect breaks the hash. Closes the raster↔vector loop the
+    north_rule names (vector→raster alone was only half of it)."""
+    from batch_geocode_spark.operators import tiles as T
+
+    _, best = _geocoded(spark, sf_dir)
+    dens = T.cell_density(best, res=TILE_RES)
+    tiles = T.assemble_raster_tiles(dens, res=TILE_RES, tile_res=5)
+    blobs = T.raster_tiles_as_blobs(tiles)
+    return T.raster_blobs_to_cells(blobs)
+
+
+def g16_polygonize(spark, sf_dir):
+    """Raster→vector polygonization: 4-connected regions of hot density
+    cells (count ≥ 2) → one vector feature per region (label = min cell
+    id, n_cells, mass, degree bbox) via arithmetic neighbor equi-joins
+    + the alternating-star connected components (``tiles.
+    polygonize_cells``). Oracle: recursive-CTE transitive closure over
+    the same arithmetic adjacency — pins both the edge construction and
+    the CC labeling."""
+    from batch_geocode_spark.operators import tiles as T
+
+    _, best = _geocoded(spark, sf_dir)
+    dens = T.cell_density(best, res=TILE_RES)
+    return T.polygonize_cells(dens, res=TILE_RES, threshold=2)
+
+
+QUERIES["g16_polygonize"] = g16_polygonize
+# the polygonize oracle needs a RECURSIVE CTE, so it hoists the keyword
+# onto the shared geo CTE chain instead of opening a second WITH
+ORACLES["g16_polygonize"] = GEO_CTES.replace("WITH ", "WITH RECURSIVE ", 1) + (
+    f""",
+    density AS (
+      SELECT {cell_encode_sql('best_lat', 'best_long', TILE_RES)} AS cell,
+             COUNT(*) AS n_images
+      FROM best GROUP BY 1),
+    hot AS (
+      SELECT cell, n_images, cell % {2**29} AS x,
+             (cell % {2**58}) // {2**29} AS y
+      FROM density WHERE n_images >= 2),
+    e0 AS (
+      SELECT a.cell AS ca, b.cell AS cb FROM hot a JOIN hot b
+        ON b.cell = a.cell - a.x + (a.x + 1) % {2**TILE_RES}
+      UNION ALL
+      SELECT a.cell, b.cell FROM hot a JOIN hot b
+        ON b.cell = a.cell + {2**29}),
+    edges AS (SELECT ca AS a, cb AS b FROM e0
+              UNION SELECT cb AS a, ca AS b FROM e0),
+    reach(node, lbl) AS (
+      SELECT cell, cell FROM hot
+      UNION
+      SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node),
+    comp AS (SELECT node, MIN(lbl) AS component FROM reach GROUP BY node)
+    SELECT c.component AS region, COUNT(*) AS n_cells,
+           SUM(h.n_images) AS n_images,
+           ROUND(MIN(h.x * 1.0 / {2**TILE_RES} * 360.0 - 180.0), 6) AS bb_w,
+           ROUND(MIN(h.y * 1.0 / {2**TILE_RES} * 180.0 - 90.0), 6) AS bb_s,
+           ROUND(MAX((h.x + 1) * 1.0 / {2**TILE_RES} * 360.0 - 180.0), 6) AS bb_e,
+           ROUND(MAX((h.y + 1) * 1.0 / {2**TILE_RES} * 180.0 - 90.0), 6) AS bb_n
+    FROM hot h JOIN comp c ON c.node = h.cell
+    GROUP BY 1
+"""
+)
+
+
+QUERIES["g15_raster_roundtrip"] = g15_raster_roundtrip
+ORACLES["g15_raster_roundtrip"] = _oracle_geo(
+    f"""
+    SELECT {cell_encode_sql('best_lat', 'best_long', TILE_RES)} AS cell,
+           COUNT(*) AS n_images
+    FROM best GROUP BY 1
+"""
+)
+
+
 QUERIES["g14_tile_pyramid"] = g14_tile_pyramid
 ORACLES["g14_tile_pyramid"] = _oracle_geo(
     "\n    UNION ALL\n".join(
@@ -1418,9 +1498,56 @@ def t05_bigram_stats(spark, sf_dir):
     )
 
 
+def t06_repetition_scores(spark, sf_dir):
+    """Gopher-style intra-document repetition filters (duplicate-line
+    fraction, duplicate-line character fraction, top-bigram mass) —
+    zero-shuffle Column-expression scans (operators/text.py
+    ``repetition_scores``); the oracle recomputes each signal via
+    explode-and-group SQL, pinning the sorted run-length-scan
+    implementation against the naive definition."""
+    from batch_geocode_spark.operators import text as T
+
+    _views(spark, sf_dir)
+    return T.repetition_scores(spark.table("documents"))
+
+
 QUERIES["d07_dedup_clusters"] = d07_dedup_clusters
 QUERIES["d08_stratified_sample"] = d08_stratified_sample
 QUERIES["t05_bigram_stats"] = t05_bigram_stats
+QUERIES["t06_repetition_scores"] = t06_repetition_scores
+
+ORACLES["t06_repetition_scores"] = r"""
+    WITH lines AS (
+      SELECT doc_id, trim(l) AS line
+      FROM documents, UNNEST(string_split(text, chr(10))) AS u(l)
+      WHERE trim(l) <> ''),
+    lc AS (
+      SELECT doc_id, line, COUNT(*) AS c, LENGTH(line) AS len
+      FROM lines GROUP BY 1, 2),
+    la AS (
+      SELECT doc_id, SUM(c) AS n_lines, COUNT(*) AS n_distinct,
+             SUM(c * len) AS total_chars,
+             SUM(CASE WHEN c >= 2 THEN c * len ELSE 0 END) AS dup_chars
+      FROM lc GROUP BY 1),
+    t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+          FROM documents),
+    bi AS (
+      SELECT doc_id, unnest(list_transform(range(1, greatest(len(toks), 1)),
+               i -> concat(toks[i], ' ', toks[i+1]))) AS bg
+      FROM t WHERE len(toks) >= 2),
+    bc AS (SELECT doc_id, bg, COUNT(*) AS c FROM bi GROUP BY 1, 2),
+    ba AS (SELECT doc_id, MAX(c) AS max_c, SUM(c) AS tot FROM bc GROUP BY 1)
+    SELECT d.doc_id,
+           COALESCE(la.n_lines, 0) AS n_lines,
+           ROUND(COALESCE((la.n_lines - la.n_distinct) * 1.0 / la.n_lines, 0.0), 6)
+             AS dup_line_frac,
+           ROUND(COALESCE(la.dup_chars * 1.0 / la.total_chars, 0.0), 6)
+             AS dup_line_char_frac,
+           ROUND(COALESCE(ba.max_c * 1.0 / ba.tot, 0.0), 6) AS top_bigram_frac
+    FROM documents d
+    LEFT JOIN la ON la.doc_id = d.doc_id
+    LEFT JOIN ba ON ba.doc_id = d.doc_id
+"""
 
 ORACLES["d07_dedup_clusters"] = (
     r"""

@@ -95,6 +95,91 @@ def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def repetition_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style intra-document repetition signals — the standard
+    pre-training filters t02's surface features don't cover:
+
+    - ``dup_line_frac``: fraction of non-empty lines that are repeats
+      of an earlier line (1 - distinct/total),
+    - ``dup_line_char_frac``: fraction of line characters belonging to
+      lines occurring ≥ 2 times (all occurrences counted),
+    - ``top_bigram_frac``: occurrences of the most frequent word
+      2-gram over all 2-grams.
+
+    Scale shape: ZERO shuffle — every signal is a Column expression
+    over per-row arrays (whole-stage codegen). Duplicate detection
+    sorts the array once (O(L log L)) and run-length-scans it with
+    ``aggregate``, instead of the explode → groupBy(doc, line) plan
+    that would shuffle the full corpus text at 100 TB.
+    """
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), r"\n"), lambda l: F.trim(l)),
+        lambda l: l != "",
+    )
+    n_lines = F.size(lines)
+    n_distinct = F.size(F.array_distinct(lines))
+    total_chars = F.aggregate(
+        lines, F.lit(0).cast("long"), lambda a, l: a + F.length(l)
+    )
+    zl = F.lit(0).cast("long")
+    # chars in duplicated lines: sorted-array run-length scan. State =
+    # (prev line, current run length, accumulated dup chars); a run
+    # flushes into acc when the line changes, the finish lambda flushes
+    # the final run. Lines are non-empty, so prev='' marks "no prev".
+    dup_chars = F.aggregate(
+        F.array_sort(lines),
+        F.struct(F.lit("").alias("prev"), zl.alias("run"), zl.alias("acc")),
+        lambda st, l: F.struct(
+            l.alias("prev"),
+            F.when(l == st["prev"], st["run"] + 1).otherwise(F.lit(1).cast("long")).alias("run"),
+            (
+                st["acc"]
+                + F.when(
+                    (l != st["prev"]) & (st["run"] >= 2),
+                    st["run"] * F.length(st["prev"]),
+                ).otherwise(zl)
+            ).alias("acc"),
+        ),
+        lambda st: st["acc"]
+        + F.when(st["run"] >= 2, st["run"] * F.length(st["prev"])).otherwise(zl),
+    )
+    toks = _tokens(F.col(text_col))
+    n_tok = F.size(toks)
+    n_bg = F.greatest(n_tok - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(toks, 1, n_bg),
+        F.slice(toks, 2, n_bg),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    # most-frequent-bigram count: same sorted run-length scan, max run
+    max_bg = F.aggregate(
+        F.array_sort(bigrams),
+        F.struct(F.lit("").alias("prev"), zl.alias("run"), zl.alias("mx")),
+        lambda st, b: F.struct(
+            b.alias("prev"),
+            F.when(b == st["prev"], st["run"] + 1).otherwise(F.lit(1).cast("long")).alias("run"),
+            F.greatest(
+                st["mx"],
+                F.when(b == st["prev"], st["run"] + 1).otherwise(F.lit(1).cast("long")),
+            ).alias("mx"),
+        ),
+        lambda st: st["mx"],
+    )
+    return docs.select(
+        "doc_id",
+        n_lines.alias("n_lines"),
+        F.round(
+            F.when(n_lines > 0, (n_lines - n_distinct) / n_lines).otherwise(0.0), 6
+        ).alias("dup_line_frac"),
+        F.round(
+            F.when(total_chars > 0, dup_chars / total_chars).otherwise(0.0), 6
+        ).alias("dup_line_char_frac"),
+        F.round(
+            F.when(n_bg > 0, max_bg / n_bg).otherwise(0.0), 6
+        ).alias("top_bigram_frac"),
+    )
+
+
 def fingerprints(
     docs: DataFrame, text_col: str = "text", token_hash: str = "xxhash64"
 ) -> DataFrame:

@@ -141,3 +141,116 @@ def raster_tiles_as_blobs(tiles: DataFrame) -> DataFrame:
     return tiles.mapInPandas(
         enc, schema="tile long, tile_px int, n_images long, fmt string, blob binary"
     )
+
+
+def raster_blobs_to_cells(blobs: DataFrame) -> DataFrame:
+    """Raster → vector: decode PGM16 raster-tile blobs back into the
+    per-cell density rows they were assembled from — the missing
+    direction of the north_rule's raster↔vector loop (the inverse of
+    ``cell_density → assemble_raster_tiles → raster_tiles_as_blobs``).
+
+    The mapping is fully self-describing: the tile id carries its own
+    resolution (``tile // 2^58``) and the blob's pixel grid size gives
+    the fine resolution (``tile_res + log2(tile_px)``), so no
+    parameters are needed and the round trip is exact for counts
+    ≤ 65535 (PGM16 is lossless there).
+
+    Scale shape: shuffle-free Arrow-batched map — each tile expands to
+    its nonzero pixels only (numpy ``nonzero`` scatter-gather, no
+    per-row Python), so a sparse world raster never materialises dense
+    rows. Input: (tile, blob [, ...]) from ``raster_tiles_as_blobs``;
+    output: (cell, n_images) at the original fine resolution.
+    """
+    from typing import Iterator
+
+    from batch_geocode_spark.codecs import decode_pgm16
+    from batch_geocode_spark.functions.cells import _RES_SHIFT
+
+    def dec(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            cells: list[np.ndarray] = []
+            counts: list[np.ndarray] = []
+            for r in pdf.itertuples():
+                grid = decode_pgm16(bytes(r.blob))
+                px = grid.shape[0]
+                tile = int(r.tile)
+                tile_res = tile // _RES_SHIFT
+                rem = tile % _RES_SHIFT
+                yt, xt = rem // _Y_SHIFT, rem % _Y_SHIFT
+                res = tile_res + int(px).bit_length() - 1
+                yy, xx = np.nonzero(grid)
+                y = yt * px + yy.astype(np.int64)
+                x = xt * px + xx.astype(np.int64)
+                cells.append(res * _RES_SHIFT + y * _Y_SHIFT + x)
+                counts.append(grid[yy, xx])
+            if not cells:
+                yield pd.DataFrame({"cell": pd.Series([], dtype="int64"),
+                                    "n_images": pd.Series([], dtype="int64")})
+                continue
+            yield pd.DataFrame(
+                {"cell": np.concatenate(cells), "n_images": np.concatenate(counts)}
+            )
+
+    return blobs.mapInPandas(dec, schema="cell long, n_images long")
+
+
+def polygonize_cells(
+    density: DataFrame,
+    res: int,
+    threshold: int = 1,
+    cell_col: str = "cell",
+    count_col: str = "n_images",
+) -> DataFrame:
+    """Raster → vector polygonization (GDAL-polygonize analog): group
+    cells with count ≥ ``threshold`` into 4-connected regions and emit
+    one vector feature per region — (region label = min cell id,
+    n_cells, n_images, degree bbox). With ``raster_blobs_to_cells``
+    this completes the raster↔vector loop in both directions: density
+    grids come back as first-class vector features, not just pixels.
+
+    Scale shape: neighbor edges are PURE ARITHMETIC equi-joins (east =
+    +1 with antimeridian wrap, north = +2^29 — no spatial library, no
+    theta-join), then the depth-robust alternating-star connected
+    components from the dedup family (O(log n) rounds). Everything runs
+    over the DENSITY table (≤ 4^res rows), orders smaller than the
+    point corpus; isolated hot cells become singleton regions via a
+    coalesce, never a join miss. Latitude clamps (no north wrap);
+    east-wrap regions keep min/max bbox semantics.
+    """
+    from batch_geocode_spark.functions.cells import _RES_SHIFT, _Y_SHIFT
+    from batch_geocode_spark.operators.dedup import connected_components
+
+    n = 2**res
+    hot = density.filter(F.col(count_col) >= threshold).select(
+        F.col(cell_col).alias("cell"), F.col(count_col).alias("n_images")
+    )
+    x = F.col("cell") % F.lit(_Y_SHIFT)
+    east = F.col("cell") - x + (x + 1) % F.lit(n)
+    north = F.col("cell") + F.lit(_Y_SHIFT)
+    nbrs = hot.select(
+        F.col("cell").alias("cell_a"),
+        F.explode(F.array(east, north)).alias("cell_b"),
+    )
+    edges = nbrs.join(hot.select(F.col("cell").alias("cell_b")), "cell_b")
+    cc = connected_components(edges, id_a="cell_a", id_b="cell_b")
+    labeled = (
+        hot.join(cc.withColumnRenamed("node", "cell"), "cell", "left")
+        .withColumn("region", F.coalesce("component", F.col("cell")))
+    )
+    xx = (F.col("cell") % F.lit(_Y_SHIFT)).cast("double")
+    yy = F.floor((F.col("cell") % F.lit(_RES_SHIFT)) / F.lit(_Y_SHIFT)).cast("double")
+    return (
+        labeled.withColumn("bw", xx / n * 360.0 - 180.0)
+        .withColumn("be", (xx + 1) / n * 360.0 - 180.0)
+        .withColumn("bs", yy / n * 180.0 - 90.0)
+        .withColumn("bn", (yy + 1) / n * 180.0 - 90.0)
+        .groupBy("region")
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.sum("n_images").alias("n_images"),
+            F.round(F.min("bw"), 6).alias("bb_w"),
+            F.round(F.min("bs"), 6).alias("bb_s"),
+            F.round(F.max("be"), 6).alias("bb_e"),
+            F.round(F.max("bn"), 6).alias("bb_n"),
+        )
+    )

@@ -166,6 +166,69 @@ def test_raster_tiles_as_blobs_decode_exact(spark):
         assert int(blobs.loc[tile, "n_images"]) == int(grid.sum())
 
 
+def test_raster_blobs_to_cells_roundtrip(geo):
+    """Full raster↔vector loop: density → raster tiles → PGM16 blobs →
+    raster_blobs_to_cells reproduces the original (cell, n_images)
+    table exactly, with the fine resolution recovered from the tile id
+    + grid size alone (no parameters)."""
+    _, _, _, best = geo
+    density = tiles.cell_density(best, res=9)
+    rast = tiles.assemble_raster_tiles(density, res=9, tile_res=5)
+    blobs = tiles.raster_tiles_as_blobs(rast)
+    back = tiles.raster_blobs_to_cells(blobs).toPandas().sort_values("cell")
+    want = density.toPandas().sort_values("cell")
+    assert back["cell"].tolist() == want["cell"].tolist()
+    assert back["n_images"].tolist() == want["n_images"].tolist()
+
+
+def test_polygonize_cells(spark):
+    """Hand-built res-3 density grid: an L-shaped 3-cell region, a
+    2-cell vertical bar, an isolated singleton, and a below-threshold
+    cell that must vanish. Labels = min cell id per region."""
+    res, n = 3, 8
+    enc = lambda x, y: res * (2**58) + y * (2**29) + x  # noqa: E731
+    rows = [
+        # L-shape: (1,1), (2,1), (2,2)
+        (enc(1, 1), 5), (enc(2, 1), 3), (enc(2, 2), 2),
+        # vertical bar: (5, 4), (5, 5)
+        (enc(5, 4), 2), (enc(5, 5), 7),
+        # isolated singleton
+        (enc(7, 7), 9),
+        # below threshold -> dropped
+        (enc(0, 5), 1),
+    ]
+    dens = spark.createDataFrame(rows, "cell long, n_images long")
+    got = (
+        tiles.polygonize_cells(dens, res=res, threshold=2)
+        .toPandas()
+        .sort_values("region")
+        .reset_index(drop=True)
+    )
+    assert len(got) == 3
+    l_shape = got[got.region == enc(1, 1)].iloc[0]
+    assert l_shape["n_cells"] == 3 and l_shape["n_images"] == 10
+    # bbox spans cells x in [1,2], y in [1,2] at res 3 (45-degree cells)
+    assert l_shape["bb_w"] == pytest.approx(1 / n * 360 - 180)
+    assert l_shape["bb_e"] == pytest.approx(3 / n * 360 - 180)
+    bar = got[got.region == enc(5, 4)].iloc[0]
+    assert bar["n_cells"] == 2 and bar["n_images"] == 9
+    single = got[got.region == enc(7, 7)].iloc[0]
+    assert single["n_cells"] == 1 and single["n_images"] == 9
+
+
+def test_polygonize_antimeridian_wrap(spark):
+    """East neighbor wraps at x = 2^res - 1: cells (7, 3) and (0, 3) at
+    res 3 are 4-connected across the antimeridian."""
+    res = 3
+    enc = lambda x, y: res * (2**58) + y * (2**29) + x  # noqa: E731
+    dens = spark.createDataFrame(
+        [(enc(7, 3), 2), (enc(0, 3), 2)], "cell long, n_images long"
+    )
+    got = tiles.polygonize_cells(dens, res=res, threshold=2).toPandas()
+    assert len(got) == 1
+    assert got.iloc[0]["n_cells"] == 2
+
+
 def test_pip_high_vertex_polygon_chunked(spark):
     """A 10^4-vertex ring exercises the chunked ray-cast fallback; the
     regular N-gon is near-circular, so radius comparison with an

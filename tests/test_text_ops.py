@@ -55,3 +55,39 @@ def test_fingerprints_order_sensitivity(spark):
     assert got.loc[0, "rolling_hash"] != got.loc[1, "rolling_hash"]
     assert got.loc[0, "norm_hash"] == got.loc[2, "norm_hash"]
     assert got.loc[0, "norm_hash"] != got.loc[1, "norm_hash"]
+
+
+def test_repetition_scores(spark):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                # 4 non-empty lines, 'dup line' 3x (len 8 incl. space)
+                "dup line\ndup line\nunique one\n\ndup line",
+                "a b a b a b a b",  # 'a b' bigram dominates
+                "all distinct lines\nno repeats here",
+                "one",  # single token: no bigrams, one line
+            ],
+        }
+    )
+    got = (
+        T.repetition_scores(spark.createDataFrame(pdf))
+        .toPandas()
+        .set_index("doc_id")
+    )
+    # doc 0: 4 lines, 'dup line' x3 -> dup_line_frac = (4-2)/4
+    assert got.loc[0, "n_lines"] == 4
+    assert got.loc[0, "dup_line_frac"] == pytest.approx(0.5)
+    # dup chars = all 3 occurrences of 'dup line' over total line chars
+    total = 3 * len("dup line") + len("unique one")
+    assert got.loc[0, "dup_line_char_frac"] == pytest.approx(
+        round(3 * len("dup line") / total, 6)
+    )
+    # doc 1: bigrams of 'a b a b a b a b' (7 bigrams, 'a b' x4)
+    assert got.loc[1, "top_bigram_frac"] == pytest.approx(round(4 / 7, 6))
+    # doc 2: nothing repeats
+    assert got.loc[2, "dup_line_frac"] == 0.0
+    assert got.loc[2, "dup_line_char_frac"] == 0.0
+    # doc 3: degenerate -- no bigrams, no dup lines
+    assert got.loc[3, "n_lines"] == 1
+    assert got.loc[3, "top_bigram_frac"] == 0.0
