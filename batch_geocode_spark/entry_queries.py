@@ -1355,13 +1355,48 @@ ORACLES["g16_polygonize"] = GEO_CTES.replace("WITH ", "WITH RECURSIVE ", 1) + (
       SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node),
     comp AS (SELECT node, MIN(lbl) AS component FROM reach GROUP BY node)
     SELECT c.component AS region, COUNT(*) AS n_cells,
-           SUM(h.n_images) AS n_images,
+           CAST(SUM(h.n_images) AS BIGINT) AS n_images,
            ROUND(MIN(h.x * 1.0 / {2**TILE_RES} * 360.0 - 180.0), 6) AS bb_w,
            ROUND(MIN(h.y * 1.0 / {2**TILE_RES} * 180.0 - 90.0), 6) AS bb_s,
            ROUND(MAX((h.x + 1) * 1.0 / {2**TILE_RES} * 360.0 - 180.0), 6) AS bb_e,
            ROUND(MAX((h.y + 1) * 1.0 / {2**TILE_RES} * 180.0 - 90.0), 6) AS bb_n
     FROM hot h JOIN comp c ON c.node = h.cell
     GROUP BY 1
+"""
+)
+
+
+def g17_zonal_stats(spark, sf_dir):
+    """Raster zonal statistics: the res-9 density raster aggregated per
+    admin polygon via cell-center PIP (``rollups.zonal_stats``) — cost
+    scales with |cells|, not points. Oracle recomputes cell centers
+    from the same id arithmetic and applies the half-open bbox
+    containment g05/g06 use."""
+    _, best = _geocoded(spark, sf_dir)
+    from batch_geocode_spark.operators import tiles as T
+
+    dens = T.cell_density(best, res=TILE_RES)
+    polys = _admin_polys(spark, sf_dir)
+    return R.zonal_stats(dens, polys, res=TILE_RES, pip_res=4)
+
+
+QUERIES["g17_zonal_stats"] = g17_zonal_stats
+ORACLES["g17_zonal_stats"] = _oracle_geo(
+    f"""
+    SELECT a.admin_id, a.iso2, a.name, COUNT(*) AS n_cells,
+           CAST(SUM(d.n_images) AS BIGINT) AS n_images
+    FROM (
+      SELECT cell, n_images,
+             ((cell % {2**58}) // {2**29} + 0.5) / {2**TILE_RES} * 180.0 - 90.0 AS lat,
+             (cell % {2**29} + 0.5) / {2**TILE_RES} * 360.0 - 180.0 AS lng
+      FROM (
+        SELECT {cell_encode_sql('best_lat', 'best_long', TILE_RES)} AS cell,
+               COUNT(*) AS n_images
+        FROM best GROUP BY 1)
+    ) d JOIN ({ADMIN_SQL}) a
+      ON d.lng >= a.bb_w AND d.lng < a.bb_e
+     AND d.lat >= a.bb_s AND d.lat < a.bb_n
+    GROUP BY 1, 2, 3
 """
 )
 
@@ -1538,7 +1573,7 @@ ORACLES["t06_repetition_scores"] = r"""
     bc AS (SELECT doc_id, bg, COUNT(*) AS c FROM bi GROUP BY 1, 2),
     ba AS (SELECT doc_id, MAX(c) AS max_c, SUM(c) AS tot FROM bc GROUP BY 1)
     SELECT d.doc_id,
-           COALESCE(la.n_lines, 0) AS n_lines,
+           CAST(COALESCE(la.n_lines, 0) AS BIGINT) AS n_lines,
            ROUND(COALESCE((la.n_lines - la.n_distinct) * 1.0 / la.n_lines, 0.0), 6)
              AS dup_line_frac,
            ROUND(COALESCE(la.dup_chars * 1.0 / la.total_chars, 0.0), 6)

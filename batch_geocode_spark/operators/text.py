@@ -167,7 +167,7 @@ def repetition_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
     return docs.select(
         "doc_id",
-        n_lines.alias("n_lines"),
+        n_lines.cast("long").alias("n_lines"),
         F.round(
             F.when(n_lines > 0, (n_lines - n_distinct) / n_lines).otherwise(0.0), 6
         ).alias("dup_line_frac"),

@@ -232,28 +232,40 @@ best-pair efficiency **{appendix['scaling_efficiency']:.3f}**
 
 {_pairs_table(appendix)}
 
-What this pair taught us (round 4): profiling the 8→32 gap exposed two
+What this pair taught us. Round 4: profiling the 8→32 gap exposed two
 REAL engine bottlenecks, both allocation churn from oversized batches
 of binary payloads. (1) 20000-row Arrow batches (~70 MB each) thrash
 the allocator/GC with 32 streams in flight — 5000-row batches lifted
 local[32] from ~90-110k to 153-163k img/s. (2) The vectorized parquet
 reader's 4096-row scan batches (~14 MB of payload) do the same on the
-scan side — 1024-row batches lifted it further to 216k img/s measured
-quiet (both are session defaults now; 2-8-thread levels are
-insensitive to either). That puts local[32] at ~3.2× local[8]
-(eff ≈ 0.8) when the host is quiet; every pair in the table above ran
-under a sustained external storm (10-12.5 tenant cores during the
-32-thread runs — effectively a 20-core machine), which is why the
-recorded best is 0.765. The residual gap is the single-box hardware
-ceiling: one socket's DRAM controllers serve scan + Arrow IPC + numpy
-decode + shuffle for all 32 threads, a resource a real N→4N EXECUTOR
-scale-out (per-node memory controllers) does not share. The ext-cores
-columns also quantify the converse effect in earlier rounds: under
-external load the 8-thread baseline starves first, INFLATING measured
-8→32 efficiency (r2's 0.834 / r3's 0.818 best pairs ran in exactly
-such windows). The kernel-only multiprocessing cross-check
-(decode+phash, no JVM: 55.4k → 192.1k img/s, 8 → 32 procs, eff 0.87)
-shows the Python kernel itself is scale-clean.
+scan side — 1024-row batches lifted it further (both are session
+defaults now; 2-8-thread levels are insensitive to either).
+
+Round 5 CORRECTION (the attribution bug): every earlier scaling pair's
+ext-cores column was read AFTER `spark.stop()`, when the JVM has
+killed its pyspark daemons without reaping them — the daemons' CPU
+(the bulk of the decode work) reparented to init, dropped out of our
+process tree, and was misattributed to the EXTERNAL tenant. The
+resulting phantom "storm" scaled with our own parallelism (~4-5
+"external" cores at local[8], ~8-11 at local[32]) and made every 8→32
+window look contaminated. With the read moved before stop (workers
+alive → correctly attributed), the table above is the first set of
+pairs whose quiet claims are real: ext ≤ ~2 cores at BOTH levels.
+The honest quiet-host answer: local[32] runs 125-178k img/s run-to-run
+(DRAM/GC variance), local[8] 53-71k, best paired efficiency as shown
+above — the ~0.8-after-batch-fixes figure round 4's NOTES projected
+does not replicate as a paired quiet measurement; the banked quiet
+ceiling for THIS single box is the number above. The residual gap is
+the single-box hardware ceiling: one socket's DRAM controllers serve
+scan + Arrow IPC + numpy decode + shuffle for all 32 threads, a
+resource a real N→4N EXECUTOR scale-out (per-node memory controllers)
+does not share. Under genuine external load the 8-thread baseline
+starves first, INFLATING measured 8→32 efficiency — r2's 0.834, r3's
+0.818, and the since-superseded n=4M 0.858 best pairs all ran on
+storm-era baselines, which is why none of them is citable evidence.
+The kernel-only multiprocessing cross-check (decode+phash, no JVM:
+55.4k → 192.1k img/s, 8 → 32 procs, eff 0.87) shows the Python kernel
+itself is scale-clean.
 """
 
     md = f"""# BENCH/BASELINE — measured engine numbers
@@ -280,11 +292,10 @@ vet + composite-best, geocell assignment, per-cell density.
 
 **Scaling efficiency (throughput_4N / throughput_N) / 4 = {eff:.3f}**
 (target ≥ 0.8 → {"PASS" if eff >= 0.8 else "FAIL"}; {good}/{tot}
-measured pairs ≥ 0.8). A near-idle window earlier the same night
-measured this config at 0.949-1.002 (3/4 pairs ≥ 0.8, the miss
-burst-hit; pre-instrumentation run preserved in the git history of
-`BENCH/scaling_threads_2to8_n2000000.json`) — the pairs below carry
-the external-tenant CPU shown per level and still clear the target.
+measured pairs ≥ 0.8). The ext-cores columns below are measured with
+the round-5 attribution fix (process-tree CPU read while the pyspark
+workers are still alive — see the appendix for the bug this replaces),
+so a pair showing ext ≈ 0 at both levels is provably clean.
 
 ### All measured pairs (self-proving: per-pair external-CPU + gate state)
 
@@ -328,6 +339,13 @@ before` is the 1-min load at gate release; `gate` is whether the
   0.834 and r3's 0.818 best pairs both ran on storm-era baselines).
   The 2→8 primary config is insensitive to this failure mode and its
   quiet-window pairs replicate.
+- **Attribution fix** (round 5): the per-level ext-cores figure is the
+  host-wide /proc/stat busy delta minus OUR OWN process-tree CPU; the
+  tree CPU must be read while the JVM and its pyspark daemons are
+  still alive (`scripts/scaling_job.py`) — reading it after
+  `spark.stop()` loses the daemons' CPU to init-reparenting and
+  manufactures a phantom "external storm" proportional to our own
+  parallelism (this inflated every pre-round-5 ext-cores column).
 - **Paired measurement**: this host carries external multi-minute load
   bursts (2-5× swings). Both levels run back-to-back in the same load
   window and the best efficiency PAIR is reported, with the full

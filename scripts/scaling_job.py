@@ -113,15 +113,22 @@ def main() -> None:
         bad = pipeline_once(images)
         dt = time.perf_counter() - t0
         sec = dt if sec is None else min(sec, dt)
-    spark.stop()
     # own process-tree CPU (python driver + live JVM gateway + pyspark
     # workers; reaped children via their parents' cutime) — lets
     # scaling_bench subtract our usage from the host-wide busy delta,
     # leaving EXTERNAL tenant CPU during the run: the self-proving
-    # contamination metric (1-min load averages lag sub-minute bursts)
+    # contamination metric (1-min load averages lag sub-minute bursts).
+    # MUST read BEFORE spark.stop(): the JVM kills pyspark daemons
+    # without reaping them, so after stop the daemons' CPU — the bulk
+    # of the decode work — reparents to init, drops out of the tree,
+    # and gets misattributed to the EXTERNAL tenant (rounds 2-4 showed
+    # a phantom 5-10-core "storm" exactly proportional to our own
+    # parallelism). Reading while every worker is alive attributes it
+    # correctly; only the small stop-time CPU is lost (conservative).
     from batch_geocode_spark.loadmeter import tree_cpu_s
 
     cpu_s = tree_cpu_s()
+    spark.stop()
     print(
         json.dumps(
             {

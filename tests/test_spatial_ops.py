@@ -229,6 +229,35 @@ def test_polygonize_antimeridian_wrap(spark):
     assert got.iloc[0]["n_cells"] == 2
 
 
+def test_zonal_stats(geo, spark):
+    """Zonal stats over cell centers: per-zone cell counts and mass sum
+    to the density cells whose centers fall in some zone; one world-box
+    polygon captures every cell."""
+    _, _, _, best = geo
+    density = tiles.cell_density(best, res=9)
+    world = spark.createDataFrame(
+        [(0, "c0", 0, "WORLD", -180.0, 180.0, -90.0, 90.0)],
+        "admin_id long, iso2 string, admin_level int, name string, "
+        "bb_w double, bb_e double, bb_s double, bb_n double",
+    ).withColumn(
+        "rings",
+        F.array(
+            F.array(
+                F.struct(F.col("bb_w").alias("x"), F.col("bb_s").alias("y")),
+                F.struct(F.col("bb_e").alias("x"), F.col("bb_s").alias("y")),
+                F.struct(F.col("bb_e").alias("x"), F.col("bb_n").alias("y")),
+                F.struct(F.col("bb_w").alias("x"), F.col("bb_n").alias("y")),
+                F.struct(F.col("bb_w").alias("x"), F.col("bb_s").alias("y")),
+            )
+        ),
+    )
+    got = rollups.zonal_stats(density, world, res=9).toPandas()
+    dp = density.toPandas()
+    assert len(got) == 1
+    assert int(got.iloc[0]["n_cells"]) == len(dp)
+    assert int(got.iloc[0]["n_images"]) == int(dp["n_images"].sum())
+
+
 def test_pip_high_vertex_polygon_chunked(spark):
     """A 10^4-vertex ring exercises the chunked ray-cast fallback; the
     regular N-gon is near-circular, so radius comparison with an
