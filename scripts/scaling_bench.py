@@ -254,8 +254,10 @@ pairs whose quiet claims are real: ext ≤ ~2 cores at BOTH levels.
 The honest quiet-host answer: local[32] runs 125-178k img/s run-to-run
 (DRAM/GC variance), local[8] 53-71k, best paired efficiency as shown
 above — the ~0.8-after-batch-fixes figure round 4's NOTES projected
-does not replicate as a paired quiet measurement; the banked quiet
-ceiling for THIS single box is the number above. The residual gap is
+does not replicate as a paired quiet measurement; across every
+post-fix run (n=2M and n=4M, eight pairs total) the best provably
+quiet pair is 0.744, so the banked quiet ceiling for THIS single box
+is ~0.71-0.74. The residual gap is
 the single-box hardware ceiling: one socket's DRAM controllers serve
 scan + Arrow IPC + numpy decode + shuffle for all 32 threads, a
 resource a real N→4N EXECUTOR scale-out (per-node memory controllers)
