@@ -80,6 +80,48 @@ def tile_pyramid(density: DataFrame, levels: tuple[int, ...] = (9, 6, 3)) -> Dat
     return out.select("res", "cell", "n_images")
 
 
+def zonal_cells(
+    density: DataFrame,
+    polygons: DataFrame,
+    res: int,
+    pip_res: int = 4,
+    cell_col: str = "cell",
+    count_col: str = "n_images",
+) -> DataFrame:
+    """Per-cell zone labels: each density cell whose CENTER falls in an
+    admin polygon → (cell:string, admin_id, iso2, name, n_images). The
+    join stage of :func:`zonal_stats`, exposed separately because
+    cell-level rows are the right DELTA granularity for incremental
+    maintenance (``streaming.stream_zonal_deltas``): n_images deltas
+    sum across batches and n_cells stays exact via countDistinct(cell)
+    at read, neither of which a pre-aggregated per-zone row allows.
+
+    Cell centers come from pure id arithmetic (no decode table);
+    membership reuses the cell-cover-prefilter PIP join, so the
+    polygon side broadcasts and the density never shuffles before the
+    caller's keyed aggregation. pip_join's Arrow schema types pt_id as
+    string (its natural id is image_id); the cell id rides through as
+    a string."""
+    from batch_geocode_spark.functions.cells import _RES_SHIFT, _Y_SHIFT
+    from batch_geocode_spark.operators.pip import pip_join
+
+    n = 2**res
+    x = (F.col(cell_col) % F.lit(_Y_SHIFT)).cast("double")
+    y = F.floor((F.col(cell_col) % F.lit(_RES_SHIFT)) / F.lit(_Y_SHIFT)).cast("double")
+    centers = density.select(
+        F.col(cell_col).cast("string").alias("cell"),
+        F.col(count_col).alias("n_images"),
+        ((y + 0.5) / n * 180.0 - 90.0).alias("lat"),
+        ((x + 0.5) / n * 360.0 - 180.0).alias("lng"),
+    )
+    m = pip_join(
+        centers, polygons, res=pip_res, id_col="cell", lat_col="lat", lng_col="lng"
+    )
+    return m.select(F.col("pt_id").alias("cell"), "admin_id", "iso2", "name").join(
+        centers.select("cell", "n_images"), "cell"
+    )
+
+
 def zonal_stats(
     density: DataFrame,
     polygons: DataFrame,
@@ -94,33 +136,12 @@ def zonal_stats(
     rolls up POINTS): here the PIP test runs over CELL CENTERS, so the
     cost scales with |cells| (≤ 4^res), not with the point corpus —
     the standard trick for repeated per-region reporting once a
-    density layer exists.
-
-    Cell centers come from pure id arithmetic (no decode table);
-    membership reuses the cell-cover-prefilter PIP join, so the
-    polygon side broadcasts and the density never shuffles before the
-    final keyed aggregation.
-    """
-    from batch_geocode_spark.functions.cells import _RES_SHIFT, _Y_SHIFT
-    from batch_geocode_spark.operators.pip import pip_join
-
-    n = 2**res
-    x = (F.col(cell_col) % F.lit(_Y_SHIFT)).cast("double")
-    y = F.floor((F.col(cell_col) % F.lit(_RES_SHIFT)) / F.lit(_Y_SHIFT)).cast("double")
-    # pip_join's Arrow schema types pt_id as string (its natural id is
-    # image_id); the cell id rides through as a string and casts back
-    centers = density.select(
-        F.col(cell_col).cast("string").alias("cell"),
-        F.col(count_col).alias("n_images"),
-        ((y + 0.5) / n * 180.0 - 90.0).alias("lat"),
-        ((x + 0.5) / n * 360.0 - 180.0).alias("lng"),
-    )
-    m = pip_join(
-        centers, polygons, res=pip_res, id_col="cell", lat_col="lat", lng_col="lng"
-    )
+    density layer exists."""
     return (
-        m.select(F.col("pt_id").alias("cell"), "admin_id", "iso2", "name")
-        .join(centers.select("cell", "n_images"), "cell")
+        zonal_cells(
+            density, polygons, res, pip_res=pip_res,
+            cell_col=cell_col, count_col=count_col,
+        )
         .groupBy("admin_id", "iso2", "name")
         .agg(
             F.count(F.lit(1)).alias("n_cells"),

@@ -281,6 +281,79 @@ def read_pyramid(spark: SparkSession, table: SnapshotTable) -> DataFrame:
     )
 
 
+def stream_zonal_deltas(
+    spark: SparkSession,
+    input_dir: str,
+    gazetteer: DataFrame,
+    polygons: DataFrame,
+    table: SnapshotTable,
+    checkpoint_dir: str,
+    res: int = 9,
+    pip_res: int = 4,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """INCREMENTAL zonal statistics (the streaming sibling of g17):
+    each micro-batch geocodes its images, computes the BATCH's cell
+    density, labels those cells with their admin zone (cell-center PIP
+    against the static broadcast polygons) and appends CELL-level
+    deltas. Per-zone image mass commutes with the batch sum, and
+    keeping deltas at cell granularity keeps n_cells exact too —
+    ``read_zonal`` recovers both with one aggregation
+    (countDistinct(cell), sum(n_images)).
+
+    Per-batch cost scales with the batch's cells (thousands), never the
+    corpus; same exactly-once contract as stream_geocode_to_pyramid
+    (batch-scoped snapshot namespaces make replays idempotent)."""
+    from batch_geocode_spark.operators.rollups import zonal_cells
+
+    reader = spark.readStream.schema(IMAGES_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_dir)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        _, best = G.geocode_images(batch_df, gazetteer)
+        delta = zonal_cells(
+            T.cell_density(best, res=res), polygons, res=res, pip_res=pip_res
+        ).withColumn("batch_id", F.lit(int(batch_id)))
+        write_snapshotted(
+            delta,
+            table,
+            key_col="cell",
+            n_buckets=8,
+            group_size=8,
+            job_id=f"stream-zonal-batch-{batch_id}",
+            namespace=f"batch-{batch_id}",
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_zonal(spark: SparkSession, table: SnapshotTable) -> DataFrame:
+    """Serving read over incrementally-maintained zonal deltas
+    (``stream_zonal_deltas``): one keyed aggregation — n_images sums
+    across batch deltas, n_cells = countDistinct(cell) stays exact
+    when the same cell receives mass in several batches."""
+    return (
+        table.read(spark)
+        .groupBy("admin_id", "iso2", "name")
+        .agg(
+            F.countDistinct("cell").alias("n_cells"),
+            F.sum("n_images").alias("n_images"),
+        )
+    )
+
+
 def eval_shingle_index(eval_docs: DataFrame, n: int = 8, text_col: str = "text") -> DataFrame:
     """ONE-row static index of an eval/benchmark split for the stateless
     streaming decontamination map: ``eval_map`` is

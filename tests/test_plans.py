@@ -211,3 +211,60 @@ def test_spatial_knn_no_cartesian(spark):
     plan = _plan(KNN.knn_spatial(best, gaz, k=3, res=6))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_polygonize_edges_are_equi_joins(spark):
+    """g16's neighbor edges are arithmetic equi-joins on the cell id —
+    never a cartesian/theta join — and the CC label join back onto the
+    density stays an equi-join too."""
+    from batch_geocode_spark.operators import tiles as T
+
+    images = datagen.images_to_spark(spark, 300, with_bytes=False)
+    gaz = datagen.gazetteer_to_spark(spark)
+    _, best = G.geocode_images(images, gaz)
+    plan = _plan(T.polygonize_cells(T.cell_density(best, res=9), res=9, threshold=1))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_zonal_stats_broadcasts_polygons(spark):
+    """g17's PIP stage must broadcast the polygon cover (the density
+    side never shuffles before the final keyed agg) and stay free of
+    cartesian joins."""
+    from batch_geocode_spark.operators import rollups as R
+    from batch_geocode_spark.operators import tiles as T
+
+    images = datagen.images_to_spark(spark, 300, with_bytes=False)
+    gaz = datagen.gazetteer_to_spark(spark)
+    _, best = G.geocode_images(images, gaz)
+    polys = datagen.admin_polys_to_spark(spark) if hasattr(datagen, "admin_polys_to_spark") else None
+    if polys is None:
+        import pandas as pd
+
+        rect = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "admin_id": [0, 1],
+                    "iso2": ["c0", "c1"],
+                    "admin_level": [0, 0],
+                    "name": ["A", "B"],
+                    "bb_w": [-180.0, 0.0],
+                    "bb_e": [0.0, 180.0],
+                    "bb_s": [-90.0, -90.0],
+                    "bb_n": [90.0, 90.0],
+                }
+            )
+        )
+        ring = F.array(
+            F.struct(F.col("bb_w").alias("x"), F.col("bb_s").alias("y")),
+            F.struct(F.col("bb_e").alias("x"), F.col("bb_s").alias("y")),
+            F.struct(F.col("bb_e").alias("x"), F.col("bb_n").alias("y")),
+            F.struct(F.col("bb_w").alias("x"), F.col("bb_n").alias("y")),
+            F.struct(F.col("bb_w").alias("x"), F.col("bb_s").alias("y")),
+        )
+        polys = rect.withColumn("rings", F.array(ring))
+    z = R.zonal_stats(T.cell_density(best, res=9), polys, res=9)
+    plan = _plan(z)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan

@@ -549,3 +549,44 @@ def test_stream_decontamination_matches_batch(spark, tmp_path_factory):
     )
     assert list(got_sem_stream["corpus_id"]) == list(got_sem["corpus_id"])
     assert list(got_sem_stream["n_eval_hits"]) == list(got_sem["n_eval_hits"])
+
+
+def test_stream_zonal_deltas_match_batch(spark, tmp_path_factory):
+    """Incremental zonal statistics: cell-level deltas streamed over two
+    micro-batches fold (read_zonal) to exactly the batch zonal_stats of
+    the full input — n_images sums across batches and n_cells stays
+    exact via countDistinct even when both batches hit the same cell."""
+    from batch_geocode_spark.operators import rollups as R
+
+    in_dir = str(tmp_path_factory.mktemp("zonal_in"))
+    ckpt = str(tmp_path_factory.mktemp("zonal_ckpt"))
+    table = SnapshotTable(str(tmp_path_factory.mktemp("zonal_snap")))
+
+    images = datagen.images_to_spark(spark, 200, with_bytes=False)
+    images.filter(F.col("image_id") < "img000000000100").coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    images.filter(F.col("image_id") >= "img000000000100").coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+
+    gaz = datagen.gazetteer_to_spark(spark)
+    polys = _admin_polys_local(spark)
+    q = streaming.stream_zonal_deltas(
+        spark, in_dir, gaz, polys, table, ckpt, res=9, available_now=True,
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(300)
+
+    got = (
+        streaming.read_zonal(spark, table)
+        .toPandas().sort_values("admin_id").reset_index(drop=True)
+    )
+    _, best = G.geocode_images(images, gaz)
+    want = (
+        R.zonal_stats(T.cell_density(best, res=9), polys, res=9)
+        .toPandas().sort_values("admin_id").reset_index(drop=True)
+    )
+    assert got["admin_id"].tolist() == want["admin_id"].tolist()
+    assert got["n_cells"].tolist() == want["n_cells"].tolist()
+    assert got["n_images"].tolist() == want["n_images"].tolist()
