@@ -1401,6 +1401,88 @@ ORACLES["g17_zonal_stats"] = _oracle_geo(
 )
 
 
+# spatial-clustering parameters: eps must stay below one cell's lat
+# extent at CLUSTER_RES (~10,007/2**res km; res 3 → ~2,500 km) so the
+# cell-ring candidate join is exhaustive at the test latitudes
+CLUSTER_RES = 3
+CLUSTER_EPS_KM = 2100.0
+CLUSTER_MIN_PTS = 650
+
+
+def g18_spatial_clusters(spark, sf_dir):
+    """DBSCAN spatial clustering of geocoded image locations
+    (``cluster.spatial_clusters`` — PostGIS ST_ClusterDBSCAN analog):
+    points collapse to weighted sites, candidate pairs come from the
+    cell-ring equi-join, clusters from the alternating-star CC, border
+    sites attach to their minimum reachable core cluster. The oracle
+    reproduces the whole chain — ring-bounded candidates, eps-ball
+    point mass, core/border/noise roles, recursive-CTE closure, and
+    the decimal-accumulated weighted centroid."""
+    from batch_geocode_spark.operators import cluster as C
+
+    _, best = _geocoded(spark, sf_dir)
+    pts = best.select(
+        F.col("image_id").alias("pt_id"),
+        F.col("best_lat").alias("lat"),
+        F.col("best_long").alias("lng"),
+    )
+    assigned = C.spatial_clusters(
+        pts, eps_km=CLUSTER_EPS_KM, min_pts=CLUSTER_MIN_PTS, res=CLUSTER_RES
+    )
+    return C.cluster_summary(assigned)
+
+
+QUERIES["g18_spatial_clusters"] = g18_spatial_clusters
+# recursive closure over the core-core eps graph → hoist RECURSIVE onto
+# the shared geo CTE chain (g16 pattern)
+_CLUSTER_M = 2**CLUSTER_RES
+_HAV_AB = haversine_sql("a.lat", "a.lng", "b.lat", "b.lng")
+ORACLES["g18_spatial_clusters"] = GEO_CTES.replace("WITH ", "WITH RECURSIVE ", 1) + (
+    f""",
+    sites AS (
+      SELECT best_lat AS lat, best_long AS lng,
+             MIN(image_id) AS site_id, COUNT(*) AS w
+      FROM best GROUP BY 1, 2),
+    sxy AS (
+      SELECT *, {cell_encode_sql('lat', 'lng', CLUSTER_RES)} % {2**29} AS x,
+             ({cell_encode_sql('lat', 'lng', CLUSTER_RES)} % {2**58}) // {2**29} AS y
+      FROM sites),
+    offs(dx, dy) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),(1,-1),(1,0),(1,1)),
+    nbr AS (
+      SELECT a.site_id AS a_id, b.site_id AS b_id, b.w AS b_w
+      FROM sxy a CROSS JOIN offs o JOIN sxy b
+        ON b.x = (a.x + o.dx + {_CLUSTER_M}) % {_CLUSTER_M} AND b.y = a.y + o.dy
+      WHERE {_HAV_AB} <= {CLUSTER_EPS_KM}),
+    mass AS (SELECT a_id, SUM(b_w) AS eps_mass FROM nbr GROUP BY 1),
+    core AS (SELECT a_id AS site_id FROM mass WHERE eps_mass >= {CLUSTER_MIN_PTS}),
+    ce AS (
+      SELECT n.a_id AS a, n.b_id AS b FROM nbr n
+      JOIN core ca ON n.a_id = ca.site_id JOIN core cb ON n.b_id = cb.site_id
+      WHERE n.a_id <> n.b_id),
+    reach(node, lbl) AS (
+      SELECT site_id, site_id FROM core
+      UNION
+      SELECT e.b, r.lbl FROM reach r JOIN ce e ON e.a = r.node),
+    comp AS (SELECT node, MIN(lbl) AS component FROM reach GROUP BY 1),
+    border AS (
+      SELECT n.a_id AS node, MIN(c.component) AS component
+      FROM nbr n JOIN comp c ON n.b_id = c.node
+      WHERE n.a_id <> n.b_id AND n.a_id NOT IN (SELECT site_id FROM core)
+      GROUP BY 1),
+    assigned AS (
+      SELECT node, component, TRUE AS is_core FROM comp
+      UNION ALL SELECT node, component, FALSE AS is_core FROM border)
+    SELECT s.component AS cluster, COUNT(*) AS n_sites,
+           CAST(SUM(CASE WHEN s.is_core THEN 1 ELSE 0 END) AS BIGINT) AS n_core_sites,
+           CAST(SUM(t.w) AS BIGINT) AS n_points,
+           ROUND(CAST(SUM(CAST(t.lat AS DECIMAL(14,8)) * CAST(t.w AS DECIMAL(20,0))) AS DOUBLE) / SUM(t.w), 6) AS centroid_lat,
+           ROUND(CAST(SUM(CAST(t.lng AS DECIMAL(14,8)) * CAST(t.w AS DECIMAL(20,0))) AS DOUBLE) / SUM(t.w), 6) AS centroid_lng
+    FROM assigned s JOIN sites t ON s.node = t.site_id
+    GROUP BY 1
+"""
+)
+
+
 QUERIES["g15_raster_roundtrip"] = g15_raster_roundtrip
 ORACLES["g15_raster_roundtrip"] = _oracle_geo(
     f"""

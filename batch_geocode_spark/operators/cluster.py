@@ -1,0 +1,200 @@
+"""Spatial density clustering (DBSCAN) over geocoded points — the
+PostGIS ``ST_ClusterDBSCAN`` analog, built Spark-first.
+
+No counterpart in the reference repo (it geocodes row-by-row and never
+groups results spatially; reference: geocode/query_funcs.py geocodes,
+vet() only composites per-row). This operator answers the follow-on
+question its users ask next: "where are the geocoded images
+concentrated, and which concentrations are one region?"
+
+Scale design (the part that matters at 100 TB):
+
+1. **Points collapse to weighted sites first** (groupBy exact
+   coordinates): a planet-scale corpus has billions of images but only
+   as many DISTINCT geocoded coordinates as the gazetteer has entries.
+   Co-located points have identical eps-neighborhoods, so DBSCAN on
+   (site, weight) is EXACTLY DBSCAN on the raw points — while shrinking
+   the pair graph from points² to sites². The map-side-combined groupBy
+   is the only full-data pass; everything after runs on the small site
+   table.
+2. **Candidate pairs come from the cell-ring equi-join** (same pattern
+   as ``knn.knn_spatial``): each site meets only sites in its cell + 8
+   neighbors at ``res`` — never a cross join. Exact whenever ``eps_km``
+   does not exceed one cell extent (choose ``res`` accordingly; the
+   lat extent of a cell is ~10,007/2**res km).
+3. **Clusters come from the alternating-star connected components**
+   (``dedup.connected_components``) — O(log n) rounds regardless of
+   cluster diameter, the same depth-robust kernel the dedup family
+   uses.
+
+Semantics (weighted DBSCAN, deterministic):
+- a site's neighbor mass = sum of weights of all sites within
+  ``eps_km`` (including itself) — i.e. the COUNT OF POINTS in the eps
+  ball, matching classic point-DBSCAN's |N_eps(p)|.
+- core site: neighbor mass >= ``min_pts``.
+- clusters: connected components of the core-core eps graph; the
+  cluster label is the minimum ``site_id`` (= min point id at that
+  coordinate) among the cluster's core sites, so labels are stable and
+  engine-independent.
+- border site: non-core within eps of >= 1 core site; assigned the
+  MINIMUM label among its reachable cores (classic DBSCAN leaves this
+  assignment order-dependent; min is the deterministic refinement).
+- noise sites (neither) are dropped.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from batch_geocode_spark.functions.cells import np_cell_encode, np_cell_ring_batch
+from batch_geocode_spark.functions.geo import haversine_km
+
+
+def weighted_sites(
+    points: DataFrame,
+    pt_id: str = "pt_id",
+    lat: str = "lat",
+    lng: str = "lng",
+) -> DataFrame:
+    """(site_id, lat, lng, w): distinct coordinates with point counts.
+    site_id = min point id at that coordinate (deterministic)."""
+    return points.groupBy(F.col(lat).alias("lat"), F.col(lng).alias("lng")).agg(
+        F.min(pt_id).alias("site_id"), F.count(F.lit(1)).alias("w")
+    )
+
+
+def eps_site_pairs(sites: DataFrame, eps_km: float, res: int) -> DataFrame:
+    """Directed candidate pairs (a_id, b_id, a/b coords+weights,
+    dist_km) for sites within ``eps_km``, via the cell-ring equi-join.
+    Includes the self pair (a_id == b_id, dist 0) so that aggregating
+    b-weights per a_id yields the DBSCAN eps-ball point count directly.
+    """
+    if res < 2:
+        raise ValueError("res must be >= 2 (ring cells collide below that)")
+
+    @F.pandas_udf("long")
+    def enc(lat, lng):
+        import pandas as pd
+
+        return pd.Series(np_cell_encode(lat.to_numpy(), lng.to_numpy(), res))
+
+    @F.pandas_udf("array<long>")
+    def enc_ring(lat, lng):
+        import pandas as pd
+
+        base = np_cell_encode(lat.to_numpy(), lng.to_numpy(), res)
+        return pd.Series(np_cell_ring_batch(base, res).tolist())
+
+    b = sites.select(
+        F.col("site_id").alias("b_id"),
+        F.col("lat").alias("b_lat"),
+        F.col("lng").alias("b_lng"),
+        F.col("w").alias("b_w"),
+        enc(F.col("lat"), F.col("lng")).alias("cell"),
+    )
+    a = sites.select(
+        F.col("site_id").alias("a_id"),
+        F.col("lat").alias("a_lat"),
+        F.col("lng").alias("a_lng"),
+        F.col("w").alias("a_w"),
+        F.explode(enc_ring(F.col("lat"), F.col("lng"))).alias("cell"),
+    ).filter(F.col("cell") >= 0)
+    return (
+        a.join(b, "cell", "inner")
+        .withColumn(
+            "dist_km",
+            haversine_km(
+                F.col("a_lat"), F.col("a_lng"), F.col("b_lat"), F.col("b_lng")
+            ),
+        )
+        .filter(F.col("dist_km") <= eps_km)
+    )
+
+
+def spatial_clusters(
+    points: DataFrame,
+    eps_km: float,
+    min_pts: int,
+    res: int,
+    pt_id: str = "pt_id",
+    lat: str = "lat",
+    lng: str = "lng",
+) -> DataFrame:
+    """DBSCAN cluster assignment: (site_id, lat, lng, w, cluster,
+    is_core) — one row per non-noise SITE (distinct coordinate); every
+    point at that coordinate belongs to ``cluster``.
+
+    ``eps_km`` should not exceed one cell's lat extent at ``res``
+    (~10,007/2**res km) or ring-bounded candidate generation starts
+    missing far pairs (it degrades the same way ``knn.knn_spatial``
+    does, and earlier near the poles where cells narrow)."""
+    from batch_geocode_spark.operators.dedup import connected_components
+
+    sites = weighted_sites(points, pt_id=pt_id, lat=lat, lng=lng)
+    nbr = eps_site_pairs(sites, eps_km, res)
+
+    mass = nbr.groupBy("a_id").agg(F.sum("b_w").alias("eps_mass"))
+    cores = mass.filter(F.col("eps_mass") >= min_pts).select(
+        F.col("a_id").alias("site_id")
+    )
+
+    core_edges = (
+        nbr.filter(F.col("a_id") != F.col("b_id"))
+        .join(cores.select(F.col("site_id").alias("a_id")), "a_id", "left_semi")
+        .join(cores.select(F.col("site_id").alias("b_id")), "b_id", "left_semi")
+        .select("a_id", "b_id")
+    )
+    cc = connected_components(core_edges, id_a="a_id", id_b="b_id")
+    linked = cc.select(F.col("node").alias("site_id"), "component")
+    # singleton cores: no core neighbor, their own cluster
+    singles = cores.join(linked, "site_id", "left_anti").select(
+        "site_id", F.col("site_id").alias("component")
+    )
+    core_assign = linked.unionByName(singles).withColumn("is_core", F.lit(True))
+
+    border_assign = (
+        nbr.filter(F.col("a_id") != F.col("b_id"))
+        .join(cores.select(F.col("site_id").alias("a_id")), "a_id", "left_anti")
+        .join(
+            core_assign.select(
+                F.col("site_id").alias("b_id"), F.col("component").alias("b_comp")
+            ),
+            "b_id",
+            "inner",
+        )
+        .groupBy(F.col("a_id").alias("site_id"))
+        .agg(F.min("b_comp").alias("component"))
+        .withColumn("is_core", F.lit(False))
+    )
+
+    assigned = core_assign.unionByName(border_assign)
+    return sites.join(assigned, "site_id", "inner").select(
+        "site_id",
+        "lat",
+        "lng",
+        "w",
+        F.col("component").alias("cluster"),
+        "is_core",
+    )
+
+
+def cluster_summary(assigned: DataFrame) -> DataFrame:
+    """Per-cluster rollup: site/point counts and the point-weighted
+    centroid. Centroid sums accumulate coordinates as exact decimals
+    (coordinate rounded to 8 dp, ~1 mm) so the result is independent of
+    summation order — the invariant every cross-engine oracle in this
+    repo relies on."""
+
+    def dec_wsum(col: str) -> F.Column:
+        return F.sum(
+            F.col(col).cast("decimal(14,8)") * F.col("w").cast("decimal(20,0)")
+        ).cast("double")
+
+    return assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_sites"),
+        F.sum(F.when(F.col("is_core"), 1).otherwise(0)).alias("n_core_sites"),
+        F.sum("w").alias("n_points"),
+        F.round(dec_wsum("lat") / F.sum("w"), 6).alias("centroid_lat"),
+        F.round(dec_wsum("lng") / F.sum("w"), 6).alias("centroid_lng"),
+    )

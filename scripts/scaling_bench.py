@@ -251,13 +251,17 @@ resulting phantom "storm" scaled with our own parallelism (~4-5
 window look contaminated. With the read moved before stop (workers
 alive → correctly attributed), the table above is the first set of
 pairs whose quiet claims are real: ext ≤ ~2 cores at BOTH levels.
-The honest quiet-host answer: local[32] runs 125-178k img/s run-to-run
-(DRAM/GC variance), local[8] 53-71k, best paired efficiency as shown
+The honest quiet-host answer: local[32] runs 125-195k img/s run-to-run
+(DRAM/GC variance), local[8] 53-72k, best paired efficiency as shown
 above — the ~0.8-after-batch-fixes figure round 4's NOTES projected
 does not replicate as a paired quiet measurement; across every
-post-fix run (n=2M and n=4M, eight pairs total) the best provably
+post-fix run (n=2M, 4M and 8M — twelve pairs total) the best provably
 quiet pair is 0.744, so the banked quiet ceiling for THIS single box
-is ~0.71-0.74. The residual gap is
+is ~0.70-0.74. The n=8M sweep settles whether the gap is amortizable
+fixed overhead: quadrupling the input per level pushed local[32] to
+its best-ever 194.8k img/s (ext 0.0 cores at both levels) yet paired
+efficiency stayed 0.695 — the ceiling scales WITH the data, i.e. it is
+bandwidth, not setup cost. The residual gap is
 the single-box hardware ceiling: one socket's DRAM controllers serve
 scan + Arrow IPC + numpy decode + shuffle for all 32 threads, a
 resource a real N→4N EXECUTOR scale-out (per-node memory controllers)

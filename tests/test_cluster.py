@@ -1,0 +1,89 @@
+"""Weighted-site DBSCAN (operators/cluster.py): hand-built fixture
+exercising every role (core / border / noise), singleton-core clusters,
+the antimeridian ring wrap, and the no-cartesian plan shape."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from batch_geocode_spark.operators import cluster as C
+
+# res 4 → lat cell extent ~1250 km, lng cell 22.5°; eps 300 km fits
+RES, EPS, MIN_PTS = 4, 300.0, 4
+
+
+@pytest.fixture(scope="module")
+def fixture_points(spark):
+    # (pt_id, lat, lng) — co-located points share coordinates exactly
+    rows = []
+
+    def site(pt0, n, lat, lng):
+        rows.extend((pt0 + i, lat, lng) for i in range(n))
+
+    site(100, 3, 0.0, 0.0)  # a1: w=3, core (mass 5 with a2)
+    site(200, 2, 0.0, 1.0)  # a2: w=2, 111 km from a1 → core
+    site(10, 1, 0.0, 3.0)  # b1: w=1, 222 km from a2 (334 km from a1,
+    #                          outside eps), mass 3 → border
+    site(300, 1, 10.0, 10.0)  # n1: isolated, mass 1 → noise
+    site(400, 3, 0.0, 179.9)  # c1 ┐ antimeridian pair, 22 km apart,
+    site(500, 3, 0.0, -179.9)  # c2 ┘ adjacent only via the x wrap
+    site(600, 5, -30.0, -30.0)  # d1: w=5 alone → singleton core
+    return spark.createDataFrame(rows, "pt_id long, lat double, lng double")
+
+
+@pytest.fixture(scope="module")
+def assigned(fixture_points):
+    return C.spatial_clusters(
+        fixture_points, eps_km=EPS, min_pts=MIN_PTS, res=RES
+    ).toPandas()
+
+
+def test_weighted_sites(fixture_points):
+    sites = C.weighted_sites(fixture_points).toPandas()
+    assert len(sites) == 7
+    by_id = sites.set_index("site_id")
+    assert by_id.loc[100, "w"] == 3  # min pt_id at the coordinate
+    assert by_id.loc[600, "w"] == 5
+
+
+def test_roles(assigned):
+    by_id = assigned.set_index("site_id")
+    assert bool(by_id.loc[100, "is_core"]) and bool(by_id.loc[200, "is_core"])
+    assert not bool(by_id.loc[10, "is_core"])  # border: mass 3 < 4
+    assert 300 not in by_id.index  # noise dropped
+    assert bool(by_id.loc[400, "is_core"]) and bool(by_id.loc[500, "is_core"])
+    assert bool(by_id.loc[600, "is_core"])  # singleton core kept
+
+
+def test_cluster_labels(assigned):
+    by_id = assigned.set_index("site_id")["cluster"]
+    # label = min CORE site id — the border site's smaller id (10) must
+    # NOT become the label
+    assert by_id[100] == 100 and by_id[200] == 100 and by_id[10] == 100
+    assert by_id[400] == 400 and by_id[500] == 400  # wrap-linked pair
+    assert by_id[600] == 600  # singleton
+
+
+def test_summary(assigned, spark):
+    sdf = spark.createDataFrame(assigned)
+    summ = C.cluster_summary(sdf).toPandas().set_index("cluster")
+    assert summ.loc[100, "n_points"] == 6  # 3 + 2 + 1 border
+    assert summ.loc[100, "n_sites"] == 3
+    assert summ.loc[100, "n_core_sites"] == 2
+    assert summ.loc[400, "n_points"] == 6
+    assert summ.loc[600, "n_points"] == 5
+    # weighted centroid of cluster 100: lats all 0, lngs (0*3+1*2+2.5)/6
+    assert summ.loc[100, "centroid_lat"] == 0.0
+    assert summ.loc[100, "centroid_lng"] == round(5.0 / 6, 6)
+
+
+def test_no_cartesian_plan(fixture_points):
+    plan = C.spatial_clusters(
+        fixture_points, eps_km=EPS, min_pts=MIN_PTS, res=RES
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_res_guard(fixture_points):
+    with pytest.raises(ValueError):
+        C.eps_site_pairs(C.weighted_sites(fixture_points), 100.0, res=1)
