@@ -129,9 +129,24 @@ def spatial_clusters(
     (~10,007/2**res km) or ring-bounded candidate generation starts
     missing far pairs (it degrades the same way ``knn.knn_spatial``
     does, and earlier near the poles where cells narrow)."""
+    return cluster_sites(
+        weighted_sites(points, pt_id=pt_id, lat=lat, lng=lng),
+        eps_km=eps_km,
+        min_pts=min_pts,
+        res=res,
+    )
+
+
+def cluster_sites(
+    sites: DataFrame, eps_km: float, min_pts: int, res: int
+) -> DataFrame:
+    """DBSCAN over a prebuilt weighted-site table (site_id, lat, lng,
+    w) — the tail of ``spatial_clusters``, exposed separately so
+    incrementally-maintained site weights (``streaming.
+    stream_site_weights`` deltas folded at read time) cluster through
+    the identical code path as a batch run."""
     from batch_geocode_spark.operators.dedup import connected_components
 
-    sites = weighted_sites(points, pt_id=pt_id, lat=lat, lng=lng)
     nbr = eps_site_pairs(sites, eps_km, res)
 
     mass = nbr.groupBy("a_id").agg(F.sum("b_w").alias("eps_mass"))

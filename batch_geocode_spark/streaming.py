@@ -354,6 +354,87 @@ def read_zonal(spark: SparkSession, table: SnapshotTable) -> DataFrame:
     )
 
 
+def stream_site_weights(
+    spark: SparkSession,
+    input_dir: str,
+    gazetteer: DataFrame,
+    table: SnapshotTable,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """INCREMENTAL weighted-site maintenance (the streaming sibling of
+    g18 spatial clustering): each micro-batch geocodes its images and
+    appends per-coordinate deltas (lat, lng, w, site_id = min image id
+    in the batch at that coordinate). Point counts sum across batches
+    and min-ids fold by min, so ``read_spatial_clusters`` recovers the
+    exact batch site table with one aggregation and clusters it through
+    the identical ``cluster.cluster_sites`` path.
+
+    The expensive full-data pass (geocode + groupBy coordinates) is the
+    per-batch increment; clustering itself runs at READ time on the
+    folded site table — gazetteer-scale, thousands of rows at 100 TB —
+    so recompute-on-read serving is cheap and always consistent."""
+
+    reader = spark.readStream.schema(IMAGES_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_dir)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        _, best = G.geocode_images(batch_df, gazetteer)
+        delta = (
+            best.groupBy(
+                F.col("best_lat").alias("lat"), F.col("best_long").alias("lng")
+            )
+            .agg(F.min("image_id").alias("site_id"), F.count(F.lit(1)).alias("w"))
+            .withColumn("site_key", F.concat_ws(",", "lat", "lng"))
+            .withColumn("batch_id", F.lit(int(batch_id)))
+        )
+        write_snapshotted(
+            delta,
+            table,
+            key_col="site_key",
+            n_buckets=8,
+            group_size=8,
+            job_id=f"stream-sites-batch-{batch_id}",
+            namespace=f"batch-{batch_id}",
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_spatial_clusters(
+    spark: SparkSession,
+    table: SnapshotTable,
+    eps_km: float,
+    min_pts: int,
+    res: int,
+) -> DataFrame:
+    """Serving read over incrementally-maintained site-weight deltas
+    (``stream_site_weights``): fold deltas to the exact batch site
+    table (w sums, site_id folds by min) and run the identical DBSCAN
+    tail ``cluster.cluster_sites`` — same assignment schema as the
+    batch ``spatial_clusters``."""
+    from batch_geocode_spark.operators.cluster import cluster_sites
+
+    sites = (
+        table.read(spark)
+        .groupBy("lat", "lng")
+        .agg(F.min("site_id").alias("site_id"), F.sum("w").alias("w"))
+    )
+    return cluster_sites(sites, eps_km=eps_km, min_pts=min_pts, res=res)
+
+
 def eval_shingle_index(eval_docs: DataFrame, n: int = 8, text_col: str = "text") -> DataFrame:
     """ONE-row static index of an eval/benchmark split for the stateless
     streaming decontamination map: ``eval_map`` is

@@ -590,3 +590,49 @@ def test_stream_zonal_deltas_match_batch(spark, tmp_path_factory):
     assert got["admin_id"].tolist() == want["admin_id"].tolist()
     assert got["n_cells"].tolist() == want["n_cells"].tolist()
     assert got["n_images"].tolist() == want["n_images"].tolist()
+
+
+def test_stream_site_weights_match_batch(spark, tmp_path_factory):
+    """Incremental spatial clustering: site-weight deltas streamed over
+    two micro-batches fold (read_spatial_clusters) to EXACTLY the batch
+    spatial_clusters assignment of the full input — w sums and site_id
+    folds by min across batches, then the identical cluster_sites tail
+    runs on the folded table."""
+    from batch_geocode_spark.operators import cluster as C
+
+    in_dir = str(tmp_path_factory.mktemp("sites_in"))
+    ckpt = str(tmp_path_factory.mktemp("sites_ckpt"))
+    table = SnapshotTable(str(tmp_path_factory.mktemp("sites_snap")))
+
+    images = datagen.images_to_spark(spark, 200, with_bytes=False)
+    images.filter(F.col("image_id") < "img000000000100").coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    images.filter(F.col("image_id") >= "img000000000100").coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+
+    gaz = datagen.gazetteer_to_spark(spark)
+    q = streaming.stream_site_weights(
+        spark, in_dir, gaz, table, ckpt, available_now=True,
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(300)
+
+    eps, min_pts, res = 2100.0, 18, 3
+    got = (
+        streaming.read_spatial_clusters(spark, table, eps_km=eps, min_pts=min_pts, res=res)
+        .toPandas().sort_values("site_id").reset_index(drop=True)
+    )
+    _, best = G.geocode_images(images, gaz)
+    pts = best.select(
+        F.col("image_id").alias("pt_id"),
+        F.col("best_lat").alias("lat"),
+        F.col("best_long").alias("lng"),
+    )
+    want = (
+        C.spatial_clusters(pts, eps_km=eps, min_pts=min_pts, res=res)
+        .toPandas().sort_values("site_id").reset_index(drop=True)
+    )
+    for col in ("site_id", "w", "cluster", "is_core"):
+        assert got[col].tolist() == want[col].tolist(), col
