@@ -1353,15 +1353,46 @@ ORACLES["g16_polygonize"] = GEO_CTES.replace("WITH ", "WITH RECURSIVE ", 1) + (
       SELECT cell, cell FROM hot
       UNION
       SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node),
-    comp AS (SELECT node, MIN(lbl) AS component FROM reach GROUP BY node)
-    SELECT c.component AS region, COUNT(*) AS n_cells,
-           CAST(SUM(h.n_images) AS BIGINT) AS n_images,
-           ROUND(MIN(h.x * 1.0 / {2**TILE_RES} * 360.0 - 180.0), 6) AS bb_w,
-           ROUND(MIN(h.y * 1.0 / {2**TILE_RES} * 180.0 - 90.0), 6) AS bb_s,
-           ROUND(MAX((h.x + 1) * 1.0 / {2**TILE_RES} * 360.0 - 180.0), 6) AS bb_e,
-           ROUND(MAX((h.y + 1) * 1.0 / {2**TILE_RES} * 180.0 - 90.0), 6) AS bb_n
-    FROM hot h JOIN comp c ON c.node = h.cell
-    GROUP BY 1
+    comp AS (SELECT node, MIN(lbl) AS component FROM reach GROUP BY node),
+    lab AS (
+      SELECT c.component AS region, h.x, h.y, h.n_images
+      FROM hot h JOIN comp c ON c.node = h.cell),
+    -- wrap-aware lng bbox: largest-gap rotation over distinct x per
+    -- region (mirrors tiles.polygonize_cells; RFC 7946 bb_w > bb_e
+    -- convention for regions crossing the antimeridian)
+    rxs AS (SELECT DISTINCT region, x FROM lab),
+    rgap AS (
+      SELECT region, x AS origin,
+             x - LAG(x) OVER (PARTITION BY region ORDER BY x) AS gap
+      FROM rxs
+      UNION ALL
+      SELECT region, MIN(x), MIN(x) - MAX(x) + {2**TILE_RES}
+      FROM rxs GROUP BY region),
+    rorigin AS (
+      SELECT region, origin FROM (
+        SELECT region, origin,
+               ROW_NUMBER() OVER (PARTITION BY region ORDER BY gap DESC, origin ASC) AS rn
+        FROM rgap WHERE gap IS NOT NULL)
+      WHERE rn = 1)
+    SELECT region, n_cells, n_images,
+           ROUND(CASE WHEN max_rot = {2**TILE_RES} - 1 THEN -180.0
+                 ELSE origin * 1.0 / {2**TILE_RES} * 360.0 - 180.0 END, 6) AS bb_w,
+           bb_s,
+           ROUND(CASE WHEN max_rot = {2**TILE_RES} - 1 THEN 180.0
+                 WHEN raw_e > 180.0 THEN raw_e - 360.0
+                 ELSE raw_e END, 6) AS bb_e,
+           bb_n
+    FROM (
+      SELECT l.region AS region, COUNT(*) AS n_cells,
+             CAST(SUM(l.n_images) AS BIGINT) AS n_images,
+             MIN(o.origin) AS origin,
+             MAX((l.x - o.origin + {2**TILE_RES}) % {2**TILE_RES}) AS max_rot,
+             (MIN(o.origin) + MAX((l.x - o.origin + {2**TILE_RES}) % {2**TILE_RES}) + 1)
+               * 1.0 / {2**TILE_RES} * 360.0 - 180.0 AS raw_e,
+             ROUND(MIN(l.y * 1.0 / {2**TILE_RES} * 180.0 - 90.0), 6) AS bb_s,
+             ROUND(MAX((l.y + 1) * 1.0 / {2**TILE_RES} * 180.0 - 90.0), 6) AS bb_n
+      FROM lab l JOIN rorigin o USING (region)
+      GROUP BY 1)
 """
 )
 
@@ -1471,14 +1502,44 @@ ORACLES["g18_spatial_clusters"] = GEO_CTES.replace("WITH ", "WITH RECURSIVE ", 1
       GROUP BY 1),
     assigned AS (
       SELECT node, component, TRUE AS is_core FROM comp
-      UNION ALL SELECT node, component, FALSE AS is_core FROM border)
-    SELECT s.component AS cluster, COUNT(*) AS n_sites,
-           CAST(SUM(CASE WHEN s.is_core THEN 1 ELSE 0 END) AS BIGINT) AS n_core_sites,
-           CAST(SUM(t.w) AS BIGINT) AS n_points,
-           ROUND(CAST(SUM(CAST(t.lat AS DECIMAL(14,8)) * CAST(t.w AS DECIMAL(20,0))) AS DOUBLE) / SUM(t.w), 6) AS centroid_lat,
-           ROUND(CAST(SUM(CAST(t.lng AS DECIMAL(14,8)) * CAST(t.w AS DECIMAL(20,0))) AS DOUBLE) / SUM(t.w), 6) AS centroid_lng
-    FROM assigned s JOIN sites t ON s.node = t.site_id
-    GROUP BY 1
+      UNION ALL SELECT node, component, FALSE AS is_core FROM border),
+    asg AS (
+      SELECT s.component AS cluster, s.is_core, t.lat, t.lng, t.w
+      FROM assigned s JOIN sites t ON s.node = t.site_id),
+    -- antimeridian-aware centroid_lng: largest-gap rotation (exact
+    -- decimal arithmetic, mirrors cluster.cluster_summary)
+    clngs AS (SELECT DISTINCT cluster, lng FROM asg),
+    gap_internal AS (
+      SELECT cluster, lng AS origin,
+             CAST(lng AS DECIMAL(14,8))
+               - CAST(LAG(lng) OVER (PARTITION BY cluster ORDER BY lng) AS DECIMAL(14,8)) AS gap
+      FROM clngs),
+    gap_wrap AS (
+      SELECT cluster, MIN(lng) AS origin,
+             CAST(MIN(lng) AS DECIMAL(14,8)) - CAST(MAX(lng) AS DECIMAL(14,8)) + 360 AS gap
+      FROM clngs GROUP BY 1),
+    origins AS (
+      SELECT cluster, origin FROM (
+        SELECT cluster, origin,
+               ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY gap DESC, origin ASC) AS rn
+        FROM (SELECT * FROM gap_internal WHERE gap IS NOT NULL
+              UNION ALL SELECT * FROM gap_wrap))
+      WHERE rn = 1)
+    SELECT cluster, n_sites, n_core_sites, n_points, centroid_lat,
+           ROUND(CASE WHEN raw_lng > 180 THEN raw_lng - 360 ELSE raw_lng END, 6) AS centroid_lng
+    FROM (
+      SELECT a.cluster AS cluster, COUNT(*) AS n_sites,
+             CAST(SUM(CASE WHEN a.is_core THEN 1 ELSE 0 END) AS BIGINT) AS n_core_sites,
+             CAST(SUM(a.w) AS BIGINT) AS n_points,
+             ROUND(CAST(SUM(CAST(a.lat AS DECIMAL(14,8)) * CAST(a.w AS DECIMAL(20,0))) AS DOUBLE) / SUM(a.w), 6) AS centroid_lat,
+             CAST(SUM(
+               (CASE WHEN CAST(a.lng AS DECIMAL(14,8)) >= CAST(o.origin AS DECIMAL(14,8))
+                     THEN CAST(a.lng AS DECIMAL(14,8)) - CAST(o.origin AS DECIMAL(14,8))
+                     ELSE CAST(a.lng AS DECIMAL(14,8)) - CAST(o.origin AS DECIMAL(14,8)) + 360 END)
+               * CAST(a.w AS DECIMAL(20,0))) AS DOUBLE)
+               / SUM(a.w) + MIN(o.origin) AS raw_lng
+      FROM asg a JOIN origins o USING (cluster)
+      GROUP BY 1)
 """
 )
 

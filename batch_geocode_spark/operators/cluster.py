@@ -199,17 +199,82 @@ def cluster_summary(assigned: DataFrame) -> DataFrame:
     centroid. Centroid sums accumulate coordinates as exact decimals
     (coordinate rounded to 8 dp, ~1 mm) so the result is independent of
     summation order — the invariant every cross-engine oracle in this
-    repo relies on."""
+    repo relies on.
 
-    def dec_wsum(col: str) -> F.Column:
-        return F.sum(
-            F.col(col).cast("decimal(14,8)") * F.col("w").cast("decimal(20,0)")
-        ).cast("double")
+    ``centroid_lng`` is antimeridian-aware via largest-gap rotation
+    (the exact method for circular data, no transcendentals — so the
+    decimal order-independence invariant survives): per cluster, find
+    the largest circular gap between distinct site longitudes and
+    rotate that gap's eastern edge to the origin; the weighted mean of
+    the rotated longitudes plus the origin, normalized to (-180, 180],
+    is the centroid. For any cluster whose largest gap is the
+    wrap-around gap (every cluster that does not span ±180) this is
+    ALGEBRAICALLY the plain weighted mean; a wrap-spanning pair like
+    {+179.9, -179.9} lands at ±180 instead of the misleading ~0 a
+    plain mean gives.
 
-    return assigned.groupBy("cluster").agg(
-        F.count(F.lit(1)).alias("n_sites"),
-        F.sum(F.when(F.col("is_core"), 1).otherwise(0)).alias("n_core_sites"),
-        F.sum("w").alias("n_points"),
-        F.round(dec_wsum("lat") / F.sum("w"), 6).alias("centroid_lat"),
-        F.round(dec_wsum("lng") / F.sum("w"), 6).alias("centroid_lng"),
+    The gap search runs per cluster over DISTINCT longitudes — sites
+    are gazetteer-scale, so the window is tiny; the only full-site
+    shuffles are keyed by ``cluster``, same as the rollup itself.
+    """
+    from pyspark.sql import Window
+
+    lngs = assigned.select("cluster", "lng").distinct()
+    w_lng = Window.partitionBy("cluster").orderBy("lng")
+    internal = (
+        lngs.withColumn("prev", F.lag("lng").over(w_lng))
+        .filter(F.col("prev").isNotNull())
+        .select(
+            "cluster",
+            F.col("lng").alias("origin"),
+            (
+                F.col("lng").cast("decimal(14,8)")
+                - F.col("prev").cast("decimal(14,8)")
+            ).alias("gap"),
+        )
+    )
+    wrap = lngs.groupBy("cluster").agg(
+        F.min("lng").alias("origin"),
+        (
+            F.min("lng").cast("decimal(14,8)")
+            - F.max("lng").cast("decimal(14,8)")
+            + F.lit(360)
+        ).alias("gap"),
+    )
+    w_pick = Window.partitionBy("cluster").orderBy(
+        F.col("gap").desc(), F.col("origin").asc()
+    )
+    origins = (
+        internal.unionByName(wrap)
+        .withColumn("rn", F.row_number().over(w_pick))
+        .filter(F.col("rn") == 1)
+        .select("cluster", "origin")
+    )
+
+    def dec_wsum(col: F.Column) -> F.Column:
+        return F.sum(col * F.col("w").cast("decimal(20,0)")).cast("double")
+
+    lng_dec = F.col("lng").cast("decimal(14,8)")
+    origin_dec = F.col("origin").cast("decimal(14,8)")
+    rotated = F.when(lng_dec >= origin_dec, lng_dec - origin_dec).otherwise(
+        lng_dec - origin_dec + F.lit(360)
+    )
+    raw_lng = (
+        dec_wsum(rotated) / F.sum("w") + F.first("origin")
+    )
+    norm_lng = F.when(raw_lng > 180, raw_lng - 360).otherwise(raw_lng)
+    return (
+        assigned.join(F.broadcast(origins), "cluster")
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_sites"),
+            F.sum(F.when(F.col("is_core"), 1).otherwise(0)).alias(
+                "n_core_sites"
+            ),
+            F.sum("w").alias("n_points"),
+            F.round(
+                dec_wsum(F.col("lat").cast("decimal(14,8)")) / F.sum("w"), 6
+            ).alias("centroid_lat"),
+            F.round(norm_lng, 6).alias("centroid_lng"),
+        )
     )

@@ -245,6 +245,13 @@ def to_wide(
     list for a custom grid, or ``prefixes="discover"`` to derive the
     set from the vetted rows (one small distinct+collect job; only
     needed when candidates came from a non-standard source mix).
+
+    With the default grid, a vetted row whose prefix falls OUTSIDE the
+    grid fails the job with a per-row guard (still zero extra jobs)
+    instead of silently vanishing from the wide layout — callers with
+    non-standard source mixes are pointed at ``prefixes="discover"``.
+    An EXPLICIT prefix list skips the guard: that is a deliberate
+    projection onto a sub-grid.
     """
     prefixed = vetted.select(
         "image_id",
@@ -257,6 +264,21 @@ def to_wide(
     )
     if prefixes is None:
         prefixes = wide_prefix_grid()
+        prefixed = prefixed.withColumn(
+            "prefix",
+            F.when(F.col("prefix").isin(prefixes), F.col("prefix")).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit("to_wide: vetted contains prefix '"),
+                        F.col("prefix"),
+                        F.lit(
+                            "' outside the configured source-by-rank grid; "
+                            "pass prefixes='discover' or an explicit list"
+                        ),
+                    )
+                )
+            ),
+        )
     elif prefixes == "discover":
         prefixes = [r["prefix"] for r in prefixed.select("prefix").distinct().collect()]
     prefixes = sorted(prefixes, key=str.lower)

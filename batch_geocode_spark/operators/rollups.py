@@ -101,17 +101,34 @@ def zonal_cells(
     polygon side broadcasts and the density never shuffles before the
     caller's keyed aggregation. pip_join's Arrow schema types pt_id as
     string (its natural id is image_id); the cell id rides through as
-    a string."""
+    a string.
+
+    Cell ids self-describe their resolution (``cell >> 58``); a
+    density table built at a different resolution than the caller's
+    ``res`` would silently decode wrong centers and zone labels, so
+    every row carries a codegen-cheap ``assert_true`` guard that fails
+    the job on the first mismatched id instead."""
     from batch_geocode_spark.functions.cells import _RES_SHIFT, _Y_SHIFT
     from batch_geocode_spark.operators.pip import pip_join
 
     n = 2**res
+    res_guard = F.coalesce(
+        F.assert_true(
+            F.shiftright(F.col(cell_col).cast("long"), 58) == res,
+            F.format_string(
+                "zonal_cells: cell id resolution %d != caller res "
+                + str(res),
+                F.shiftright(F.col(cell_col).cast("long"), 58),
+            ),
+        ).cast("double"),
+        F.lit(0.0),
+    )
     x = (F.col(cell_col) % F.lit(_Y_SHIFT)).cast("double")
     y = F.floor((F.col(cell_col) % F.lit(_RES_SHIFT)) / F.lit(_Y_SHIFT)).cast("double")
     centers = density.select(
         F.col(cell_col).cast("string").alias("cell"),
         F.col(count_col).alias("n_images"),
-        ((y + 0.5) / n * 180.0 - 90.0).alias("lat"),
+        ((y + 0.5) / n * 180.0 - 90.0 + res_guard).alias("lat"),
         ((x + 0.5) / n * 360.0 - 180.0).alias("lng"),
     )
     m = pip_join(

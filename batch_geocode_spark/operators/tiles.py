@@ -214,8 +214,14 @@ def polygonize_cells(
     components from the dedup family (O(log n) rounds). Everything runs
     over the DENSITY table (≤ 4^res rows), orders smaller than the
     point corpus; isolated hot cells become singleton regions via a
-    coalesce, never a join miss. Latitude clamps (no north wrap);
-    east-wrap regions keep min/max bbox semantics.
+    coalesce, never a join miss. Latitude clamps (no north wrap).
+
+    The longitude bbox is WRAP-AWARE via largest-gap rotation over the
+    region's distinct x columns (exact integer arithmetic): a region
+    crossing ±180 reports an interval with ``bb_w > bb_e`` (the
+    GeoJSON antimeridian-bbox convention, RFC 7946 §5.2) whose width
+    equals the region's true x extent, instead of a world-spanning
+    min/max. Regions not crossing ±180 keep the plain min/max exactly.
     """
     from batch_geocode_spark.functions.cells import _RES_SHIFT, _Y_SHIFT
     from batch_geocode_spark.operators.dedup import connected_components
@@ -237,20 +243,65 @@ def polygonize_cells(
         hot.join(cc.withColumnRenamed("node", "cell"), "cell", "left")
         .withColumn("region", F.coalesce("component", F.col("cell")))
     )
-    xx = (F.col("cell") % F.lit(_Y_SHIFT)).cast("double")
+    from pyspark.sql import Window
+
+    # per-region rotation origin: the x column immediately east of the
+    # largest circular gap between the region's distinct x values —
+    # pure integer windows over the tiny region table
+    labeled = labeled.withColumn("x", F.col("cell") % F.lit(_Y_SHIFT))
+    xs = labeled.select("region", "x").distinct()
+    w_x = Window.partitionBy("region").orderBy("x")
+    gap_internal = (
+        xs.withColumn("prev", F.lag("x").over(w_x))
+        .filter(F.col("prev").isNotNull())
+        .select(
+            "region",
+            F.col("x").alias("origin"),
+            (F.col("x") - F.col("prev")).alias("gap"),
+        )
+    )
+    gap_wrap = xs.groupBy("region").agg(
+        F.min("x").alias("origin"),
+        (F.min("x") - F.max("x") + F.lit(n)).alias("gap"),
+    )
+    w_pick = Window.partitionBy("region").orderBy(
+        F.col("gap").desc(), F.col("origin").asc()
+    )
+    origins = (
+        gap_internal.unionByName(gap_wrap)
+        .withColumn("rn", F.row_number().over(w_pick))
+        .filter(F.col("rn") == 1)
+        .select("region", "origin")
+    )
+
+    rot_x = (F.col("x") - F.col("origin") + F.lit(n)) % F.lit(n)
     yy = F.floor((F.col("cell") % F.lit(_RES_SHIFT)) / F.lit(_Y_SHIFT)).cast("double")
+    # max(rot_x) == n-1 ⟺ the column just west of the origin is present
+    # ⟺ the LARGEST gap is 1 ⟺ every column is present: a full ring,
+    # reported as the canonical [-180, 180]
+    full_ring = F.max(rot_x) == n - 1
+    raw_w = F.first("origin").cast("double") / n * 360.0 - 180.0
+    raw_e = (
+        (F.first("origin") + F.max(rot_x) + 1).cast("double") / n * 360.0 - 180.0
+    )
     return (
-        labeled.withColumn("bw", xx / n * 360.0 - 180.0)
-        .withColumn("be", (xx + 1) / n * 360.0 - 180.0)
+        labeled.join(F.broadcast(origins), "region")
         .withColumn("bs", yy / n * 180.0 - 90.0)
         .withColumn("bn", (yy + 1) / n * 180.0 - 90.0)
         .groupBy("region")
         .agg(
             F.count(F.lit(1)).alias("n_cells"),
             F.sum("n_images").alias("n_images"),
-            F.round(F.min("bw"), 6).alias("bb_w"),
+            F.round(F.when(full_ring, F.lit(-180.0)).otherwise(raw_w), 6).alias(
+                "bb_w"
+            ),
             F.round(F.min("bs"), 6).alias("bb_s"),
-            F.round(F.max("be"), 6).alias("bb_e"),
+            F.round(
+                F.when(full_ring, F.lit(180.0)).otherwise(
+                    F.when(raw_e > 180.0, raw_e - 360.0).otherwise(raw_e)
+                ),
+                6,
+            ).alias("bb_e"),
             F.round(F.max("bn"), 6).alias("bb_n"),
         )
     )

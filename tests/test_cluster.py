@@ -76,6 +76,19 @@ def test_summary(assigned, spark):
     assert summ.loc[100, "centroid_lng"] == round(5.0 / 6, 6)
 
 
+def test_summary_antimeridian_centroid(assigned, spark):
+    """The wrap-spanning cluster {+179.9, -179.9} (equal weights) must
+    centre at ±180 via largest-gap rotation, not the misleading ~0 a
+    plain longitude mean produces; non-wrap clusters keep the plain
+    weighted mean exactly."""
+    sdf = spark.createDataFrame(assigned)
+    summ = C.cluster_summary(sdf).toPandas().set_index("cluster")
+    assert abs(abs(summ.loc[400, "centroid_lng"]) - 180.0) < 1e-6
+    assert summ.loc[400, "centroid_lat"] == 0.0
+    # singleton cluster: centroid is the site itself
+    assert summ.loc[600, "centroid_lng"] == -30.0
+
+
 def test_no_cartesian_plan(fixture_points):
     plan = C.spatial_clusters(
         fixture_points, eps_km=EPS, min_pts=MIN_PTS, res=RES

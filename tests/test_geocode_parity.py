@@ -164,3 +164,21 @@ def test_wide_nan_pattern_parity(data):
                 )
         checked += 1
     assert checked == len(images_pd)
+
+
+def test_wide_guards_out_of_grid_prefix(data):
+    """A vetted row whose source×rank prefix is outside the default
+    static grid must FAIL the wide layout loudly (pointing at
+    prefixes='discover'), not silently vanish; an explicit prefix list
+    stays a deliberate sub-grid projection."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    _, _, images, gaz = data
+    vetted, best = G.geocode_images(images, gaz)
+    odd = vetted.withColumn("source", F.lit("XX"))
+    with pytest.raises(Exception, match="discover"):
+        G.to_wide(images, odd, best).toPandas()
+    # explicit list: projection semantics, no guard
+    sub = G.to_wide(images, odd, best, prefixes=["GM1"]).toPandas()
+    assert sub["GM1_lat"].isna().all()

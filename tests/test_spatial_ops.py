@@ -227,6 +227,26 @@ def test_polygonize_antimeridian_wrap(spark):
     got = tiles.polygonize_cells(dens, res=res, threshold=2).toPandas()
     assert len(got) == 1
     assert got.iloc[0]["n_cells"] == 2
+    # wrap-aware bbox (RFC 7946): interval crosses ±180 with
+    # bb_w > bb_e and width = 2 cells (90° at res 3), not world-span
+    r = got.iloc[0]
+    assert r["bb_w"] == pytest.approx(7 / 8 * 360 - 180)  # 135
+    assert r["bb_e"] == pytest.approx(1 / 8 * 360 - 180)  # -135
+    width = (r["bb_e"] - r["bb_w"]) % 360
+    assert width == pytest.approx(90.0)
+
+
+def test_polygonize_full_ring_bbox(spark):
+    """A region covering every x column at its latitude is a full ring:
+    reported as the canonical [-180, 180] interval."""
+    res, n = 3, 8
+    enc = lambda x, y: res * (2**58) + y * (2**29) + x  # noqa: E731
+    dens = spark.createDataFrame(
+        [(enc(x, 2), 2) for x in range(n)], "cell long, n_images long"
+    )
+    got = tiles.polygonize_cells(dens, res=res, threshold=2).toPandas()
+    assert len(got) == 1
+    assert got.iloc[0]["bb_w"] == -180.0 and got.iloc[0]["bb_e"] == 180.0
 
 
 def test_zonal_stats(geo, spark):
@@ -256,6 +276,11 @@ def test_zonal_stats(geo, spark):
     assert len(got) == 1
     assert int(got.iloc[0]["n_cells"]) == len(dp)
     assert int(got.iloc[0]["n_images"]) == int(dp["n_images"].sum())
+    # cell ids self-describe their resolution: a density table built at
+    # a different res than the caller's must fail loudly, not decode
+    # wrong centers silently
+    with pytest.raises(Exception, match="resolution"):
+        rollups.zonal_stats(density, world, res=8).toPandas()
 
 
 def test_pip_high_vertex_polygon_chunked(spark):
