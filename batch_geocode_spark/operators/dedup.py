@@ -25,7 +25,6 @@ from typing import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
-from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 # 2^31-1 (Mersenne prime): affine-permutation products stay < 2^62,
@@ -186,11 +185,18 @@ def _banded_candidates(banded: DataFrame, max_band_df: int | None) -> DataFrame:
             .select("doc_a", "doc_b")
             .distinct()
         )
-    wb = W.partitionBy("band", "band_key")
-    sized = banded.withColumn("band_df", F.count(F.lit(1)).over(wb)).withColumn(
-        "band_min", F.min("doc_id").over(wb)
+    # bucket sizing via map-side-combinable groupBy, NOT a window: a
+    # window over (band, band_key) would shuffle every hot bucket's
+    # rows onto a single task — the exact skewed key the cap exists to
+    # defuse. The aggregate reduces to one row per bucket; only the
+    # (few) over-cap buckets broadcast back.
+    stats = banded.groupBy("band", "band_key").agg(
+        F.count(F.lit(1)).alias("band_df"), F.min("doc_id").alias("band_min")
     )
-    cold = sized.filter(F.col("band_df") <= max_band_df)
+    hot = F.broadcast(stats.filter(F.col("band_df") > max_band_df))
+    cold = banded.join(
+        hot.select("band", "band_key"), ["band", "band_key"], "left_anti"
+    )
     a = cold.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
     b = cold.select(F.col("doc_id").alias("doc_b"), "band", "band_key")
     cand_cold = (
@@ -199,7 +205,8 @@ def _banded_candidates(banded: DataFrame, max_band_df: int | None) -> DataFrame:
         .select("doc_a", "doc_b")
     )
     cand_hot = (
-        sized.filter((F.col("band_df") > max_band_df) & (F.col("doc_id") != F.col("band_min")))
+        banded.join(hot.select("band", "band_key", "band_min"), ["band", "band_key"])
+        .filter(F.col("doc_id") != F.col("band_min"))
         .select(F.col("band_min").alias("doc_a"), F.col("doc_id").alias("doc_b"))
     )
     return cand_cold.unionByName(cand_hot).distinct()
