@@ -86,13 +86,23 @@ def curate_documents(
         if with_metrics:
             metrics[stage] = df.select(id_col).count()
 
+    def pin(df: DataFrame) -> DataFrame:
+        # with_metrics replays the lazy pipeline prefix once per
+        # downstream stage count (ADVICE r5: the exact-dedup groupBy
+        # and decontamination joins recompute up to 7x). Lazily
+        # checkpointing each stage's id-width decision table makes its
+        # expensive subtree compute exactly once — the next note()
+        # count is the materializing action. Without metrics there is
+        # a single terminal action, so the plan stays pure lineage.
+        return df.localCheckpoint(eager=False) if with_metrics else df
+
     note("input", docs)
     eval_docs = docs.filter(F.col("doc_id") % eval_mod == 0)
     corpus = docs.filter(F.col("doc_id") % eval_mod != 0)
     note("corpus_after_eval_split", corpus)
 
     # 1. exact dedup: keep the min doc_id of every identical-text group
-    keep_exact = (
+    keep_exact = pin(
         corpus.groupBy(F.md5(F.col("text")).alias("text_hash"))
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
@@ -115,14 +125,18 @@ def curate_documents(
         .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    drop_near = members.join(
-        clusters.select(F.col("keep_doc_id").alias("doc_id")), "doc_id", "left_anti"
+    drop_near = pin(
+        members.join(
+            clusters.select(F.col("keep_doc_id").alias("doc_id")), "doc_id", "left_anti"
+        )
     )
     corpus = corpus.join(drop_near, "doc_id", "left_anti")
     note("after_near_dedup", corpus)
 
     # 3. n-gram decontamination vs the eval split (broadcast eval side)
-    leaks = D.decontamination_flags(corpus, eval_docs, n=decon_ngram).select("doc_id")
+    leaks = pin(
+        D.decontamination_flags(corpus, eval_docs, n=decon_ngram).select("doc_id")
+    )
     corpus = corpus.join(leaks, "doc_id", "left_anti")
     note("after_ngram_decontamination", corpus)
 
@@ -130,11 +144,10 @@ def curate_documents(
     if embeddings is not None:
         eval_vecs = embeddings.filter(F.col("vec_id") % eval_mod == 0)
         corpus_vecs = embeddings.filter(F.col("vec_id") % eval_mod != 0)
-        sem = (
+        sem = pin(
             S.semantic_decontamination(
                 corpus_vecs, eval_vecs, threshold=semantic_threshold
-            )
-            .select(F.col("corpus_id").alias("doc_id"))
+            ).select(F.col("corpus_id").alias("doc_id"))
         )
         corpus = corpus.join(sem, "doc_id", "left_anti")
     note("after_semantic_decontamination", corpus)

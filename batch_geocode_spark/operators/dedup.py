@@ -142,7 +142,14 @@ def decontamination_flags(
     and aggregates per doc — no corpus-side shuffle before the (small,
     post-filter) per-doc agg. ``broadcast_eval=False`` falls back to a
     shuffle join for eval sets too big to broadcast (rare)."""
-    corpus_sh = word_shingles(corpus, n=n, text_col=text_col)
+    # corpus side: RAW exploded shingles, deliberately NOT distinct —
+    # word_shingles' per-doc dedup is a full shuffle of wide strings,
+    # and the countDistinct aggregates below are insensitive to
+    # duplicate (doc, shingle) rows, so the only corpus-side shuffle is
+    # the (post-broadcast-filter, tiny) per-doc agg.
+    corpus_sh = corpus.select(
+        "doc_id", F.explode(shingle_array(n, text_col)).alias("shingle")
+    )
     eval_sh = word_shingles(eval_docs, n=n, text_col=text_col).select(
         "shingle", F.col("doc_id").alias("eval_doc_id")
     )
@@ -235,14 +242,15 @@ def minhash_signatures(
     )
 
 
-def _minhash_signatures_from_shingles(
-    sh: DataFrame, num_perm: int = 64, seed: int = 42, base_hash: str = "xxhash64"
+def _grouped_shingle_hashes(
+    sh: DataFrame, base_hash: str = "xxhash64"
 ) -> DataFrame:
+    """(doc_id, xs: array<long>): each doc's DISTINCT shingle hashes in
+    one row. collect_set both dedups (so the explode side needs no
+    .distinct() shuffle of wide strings) and partial-aggregates map-side
+    — the only shuffle carries 8-byte hashes, not shingle text."""
     from batch_geocode_spark.functions.hashing import hash60
 
-    a, b = _perm_params(num_perm, seed)
-    a_arr = np.asarray(a, dtype=np.int64)
-    b_arr = np.asarray(b, dtype=np.int64)
     if base_hash == "xxhash64":
         h = F.xxhash64("shingle")
     elif base_hash == "md5_60":
@@ -250,38 +258,91 @@ def _minhash_signatures_from_shingles(
     else:
         raise ValueError(f"unknown base_hash {base_hash!r}")
     base = sh.select("doc_id", F.pmod(h, F.lit(MERSENNE_P31)).alias("x"))
-    grouped = base.groupBy("doc_id").agg(F.collect_list("x").alias("xs"))
+    return base.groupBy("doc_id").agg(F.collect_set("x").alias("xs"))
+
+
+def _batch_signature_matrices(
+    it: Iterator[pd.DataFrame], num_perm: int, seed: int
+) -> Iterator[tuple[np.ndarray, np.ndarray]]:
+    """Per Arrow batch of (doc_id, xs): (doc_id vector, docs×num_perm
+    signature matrix). Ragged-array formulation: flatten every doc's
+    shingle hashes into one vector, then per permutation one affine map
+    over the whole batch + segmented min via reduceat — no Python-level
+    per-doc loop. Values identical to the per-row (num_perm ×
+    n_shingles) matrix formulation."""
+    a, b = _perm_params(num_perm, seed)
+    a_arr = np.asarray(a, dtype=np.int64)
+    b_arr = np.asarray(b, dtype=np.int64)
+    for pdf in it:
+        if not len(pdf):
+            continue
+        xs_list = [np.asarray(x, dtype=np.int64) for x in pdf["xs"]]
+        lens = np.fromiter((len(x) for x in xs_list), dtype=np.int64, count=len(xs_list))
+        flat = np.concatenate(xs_list)
+        offsets = np.zeros(len(lens), dtype=np.int64)
+        np.cumsum(lens[:-1], out=offsets[1:])
+        n_docs = len(lens)
+        sig_mat = np.empty((n_docs, num_perm), dtype=np.int64)
+        for p in range(num_perm):
+            # products stay < 2^62 (31-bit operands), no overflow
+            vals = (a_arr[p] * flat + b_arr[p]) % MERSENNE_P31
+            sig_mat[:, p] = np.minimum.reduceat(vals, offsets)
+        yield pdf["doc_id"].to_numpy(np.int64), sig_mat
+
+
+def _minhash_signatures_from_shingles(
+    sh: DataFrame, num_perm: int = 64, seed: int = 42, base_hash: str = "xxhash64"
+) -> DataFrame:
+    grouped = _grouped_shingle_hashes(sh, base_hash=base_hash)
 
     def sig(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         perm_idx = np.arange(num_perm, dtype=np.int32)
-        for pdf in it:
-            if not len(pdf):
-                continue
-            # ragged-array formulation: flatten every doc's shingle
-            # hashes into one vector, then per permutation one affine
-            # map over the whole batch + segmented min via reduceat —
-            # no Python-level per-doc loop. Values identical to the
-            # per-row (num_perm × n_shingles) matrix formulation.
-            xs_list = [np.asarray(x, dtype=np.int64) for x in pdf["xs"]]
-            lens = np.fromiter((len(x) for x in xs_list), dtype=np.int64, count=len(xs_list))
-            flat = np.concatenate(xs_list)
-            offsets = np.zeros(len(lens), dtype=np.int64)
-            np.cumsum(lens[:-1], out=offsets[1:])
-            n_docs = len(lens)
-            sig_mat = np.empty((n_docs, num_perm), dtype=np.int64)
-            for p in range(num_perm):
-                # products stay < 2^62 (31-bit operands), no overflow
-                vals = (a_arr[p] * flat + b_arr[p]) % MERSENNE_P31
-                sig_mat[:, p] = np.minimum.reduceat(vals, offsets)
+        for doc_ids, sig_mat in _batch_signature_matrices(it, num_perm, seed):
             yield pd.DataFrame(
                 {
-                    "doc_id": np.repeat(pdf["doc_id"].to_numpy(np.int64), num_perm),
-                    "perm": np.tile(perm_idx, n_docs),
+                    "doc_id": np.repeat(doc_ids, num_perm),
+                    "perm": np.tile(perm_idx, len(doc_ids)),
                     "sig": sig_mat.ravel(),
                 }
             )
 
     return grouped.mapInPandas(sig, schema="doc_id long, perm int, sig long")
+
+
+def _banded_keys_from_grouped(
+    grouped: DataFrame,
+    num_perm: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """(doc_id, band, sig_csv): one row per doc per band, sig_csv = the
+    band's signature values comma-joined in perm order — byte-identical
+    to concat_ws(",", sigs sorted by perm) over the perm-level rows.
+
+    Emitting bands directly from the signature kernel removes an entire
+    shuffle from the LSH pipeline: the perm-level path exploded to
+    num_perm rows/doc and re-grouped by (doc_id, band) just to
+    re-assemble what the kernel already held as one matrix row."""
+    rows_per_band = num_perm // bands
+
+    def banded(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        band_idx = np.arange(bands, dtype=np.int32)
+        for doc_ids, sig_mat in _batch_signature_matrices(it, num_perm, seed):
+            n_docs = len(doc_ids)
+            csv = [
+                ",".join(map(str, sig_mat[d, b * rows_per_band : (b + 1) * rows_per_band]))
+                for d in range(n_docs)
+                for b in range(bands)
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.repeat(doc_ids, bands),
+                    "band": np.tile(band_idx, n_docs),
+                    "sig_csv": csv,
+                }
+            )
+
+    return grouped.mapInPandas(banded, schema="doc_id long, band int, sig_csv string")
 
 
 def minhash_lsh_pairs(
@@ -300,16 +361,25 @@ def minhash_lsh_pairs(
     verification — the approximate step only generates candidates, never
     final answers.
 
-    The (doc, shingle) table feeds BOTH the signature branch and the
-    verify branch of the same DAG; with ``cache_shingles`` (default
-    auto: on exactly when ``eager``) it
-    is persisted (memory+disk, spill-safe) so the shingle
-    explode+distinct runs once instead of twice, the verified pairs are
+    One grouped hash-set table (doc_id, xs: array<long> of distinct
+    shingle hashes) feeds BOTH the signature branch and the verify
+    branch of the same DAG — a single int64 collect_set shuffle with
+    map-side partial aggregation, instead of the three shuffles of the
+    naive shape (explode+distinct of wide strings, collect_list for
+    signatures, collect_set of strings for verify). The verify Jaccard
+    is computed over the SAME base-hash sets the signatures use: with
+    60/64-bit hashes a within-pair collision (the only kind that could
+    perturb a Jaccard value) has probability ~|union|²/2⁶⁰ ≈ 1e-12 per
+    pair, and on the md5_60 oracle path DuckDB hashes shingles with the
+    identical function, so even a collision would reproduce identically
+    cross-engine. With ``cache_shingles`` (default auto: on exactly
+    when ``eager``) the grouped table is persisted (memory+disk,
+    spill-safe) so it computes once, the verified pairs are
     materialized EAGERLY at call time (localCheckpoint — they are tiny
-    relative to the corpus), and the shingle table is unpersisted before
-    returning: repeated calls in one session (benchmark loops, the query
-    suite) must not accumulate cached partitions until executor storage
-    is exhausted.
+    relative to the corpus), and the table is unpersisted before
+    returning: repeated calls in one session (benchmark loops, the
+    query suite) must not accumulate cached partitions until executor
+    storage is exhausted.
 
     API contract note: the eager default means CONSTRUCTION runs Spark
     jobs, and localCheckpoint'ed partitions are NOT fault-tolerant — on
@@ -333,7 +403,6 @@ def minhash_lsh_pairs(
     bucket switches to linear star pairing against its min doc_id (see
     ``_banded_candidates`` for the exact recall trade). Default off —
     results are then identical to the uncapped pipeline."""
-    rows_per_band = num_perm // bands
     if cache_shingles is None:  # auto: cache exactly when eager
         cache_shingles = eager
     elif cache_shingles and not eager:
@@ -346,34 +415,29 @@ def minhash_lsh_pairs(
             "safely persist/unpersist the shingle subtree; leave "
             "cache_shingles unset (or False) with eager=False"
         )
-    sh = word_shingles(docs, n=n)
+    raw = docs.select("doc_id", F.explode(shingle_array(n, "text")).alias("shingle"))
+    grouped = _grouped_shingle_hashes(raw, base_hash=base_hash)
     if cache_shingles:
         from pyspark import StorageLevel
 
-        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
-    sigs = _minhash_signatures_from_shingles(
-        sh, num_perm=num_perm, seed=seed, base_hash=base_hash
-    )
-    sorted_sigs = F.sort_array(F.collect_list(F.struct("perm", "sig")))
-    if base_hash == "md5_60":
-        band_key = F.md5(
-            F.concat_ws(",", F.transform(sorted_sigs, lambda s: s["sig"].cast("string")))
-        )
-    else:
-        band_key = F.xxhash64(sorted_sigs)
-    banded = (
-        sigs.withColumn("band", (F.col("perm") / rows_per_band).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(band_key.alias("band_key"))
-    )
+        grouped = grouped.persist(StorageLevel.MEMORY_AND_DISK)
+    # band keys come straight out of the signature kernel (one row per
+    # doc per band) — no explode to num_perm rows/doc + re-group. The
+    # md5_60 key is md5 of the band's perm-ordered sig csv, exactly what
+    # the previous sort_array(collect_list) path produced, so the DuckDB
+    # oracle is unchanged; the production key hashes the same csv with
+    # xxhash64 (band keys are internal bucket labels — only equality
+    # within a band matters).
+    bsigs = _banded_keys_from_grouped(grouped, num_perm=num_perm, bands=bands, seed=seed)
+    band_key = F.md5("sig_csv") if base_hash == "md5_60" else F.xxhash64("sig_csv")
+    banded = bsigs.select("doc_id", "band", band_key.alias("band_key"))
     cand = _banded_candidates(banded, max_band_df)
     # exact verify per candidate pair via array_intersect on the two
-    # docs' shingle sets — O(candidates), not an inverted-index self-join
+    # docs' hash sets — O(candidates), not an inverted-index self-join
     # over the whole corpus (that shape is for all-pairs queries, see
-    # ngram_jaccard_pairs); reuses the (possibly cached) shingle table
-    sets = sh.groupBy("doc_id").agg(F.collect_set("shingle").alias("shingles"))
-    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
-    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    # ngram_jaccard_pairs); reuses the (possibly cached) grouped table
+    sa = grouped.select(F.col("doc_id").alias("doc_a"), F.col("xs").alias("sh_a"))
+    sb = grouped.select(F.col("doc_id").alias("doc_b"), F.col("xs").alias("sh_b"))
     joined = cand.join(sa, "doc_a").join(sb, "doc_b")
     n_inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     jac = n_inter / (F.size("sh_a") + F.size("sh_b") - n_inter)
@@ -385,7 +449,7 @@ def minhash_lsh_pairs(
     if eager:
         out = out.localCheckpoint()
     if cache_shingles:
-        sh.unpersist()
+        grouped.unpersist()
     return out
 
 
@@ -437,16 +501,48 @@ def _edge_signature(edges: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
+def _union_find_components(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Driver-local union-find over a small canonical edge list (a, b):
+    (node, component) with component = min original id — identical
+    labels to the distributed alternating-star fixed point."""
+    both = pd.concat([pdf["a"], pdf["b"]], ignore_index=True)
+    codes, uniques = pd.factorize(both)
+    n = len(uniques)
+    parent = np.arange(n, dtype=np.int64)
+
+    def find(i: int) -> int:
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]  # path halving
+            i = parent[i]
+        return i
+
+    m = len(pdf)
+    for i in range(m):
+        ra, rb = find(codes[i]), find(codes[m + i])
+        if ra != rb:
+            parent[ra] = rb
+    roots = np.fromiter((find(i) for i in range(n)), dtype=np.int64, count=n)
+    nodes = pd.Series(uniques)
+    comp = nodes.groupby(roots).transform("min")
+    return pd.DataFrame({"node": nodes, "component": comp})
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "doc_a",
     id_b: str = "doc_b",
     max_iter: int = 30,
+    local_max_edges: int = 200_000,
 ) -> DataFrame:
     """(node, component): connected components of the near-dup pair
     graph — the step that turns PAIRS into DEDUP CLUSTERS (keep one doc
     per component). Component label = min node id, so results are
     deterministic and engine-independent.
+
+    Graphs with at most ``local_max_edges`` edges (known exactly from
+    the fixed-point probe's first read) are solved with driver-local
+    union-find instead — see the inline note; pass ``local_max_edges=0``
+    to force the distributed path.
 
     Algorithm: alternating large-star / small-star (Kiveris et al.,
     "Connected Components in MapReduce and Beyond", SoCC'14) — each
@@ -462,6 +558,11 @@ def connected_components(
     data, becomes the bottleneck); the fixed-point probe is a single
     count+hash aggregate, not a join.
     """
+    # eager=False everywhere in this loop: the fixed-point probe's
+    # aggregate is then the action that materializes the checkpoint, so
+    # each round costs ONE driver round-trip, not two (checkpoint count
+    # + probe). Lineage still truncates at the first action on the
+    # checkpointed frame, which is always the probe immediately below.
     edges = (
         pairs.select(
             F.greatest(F.col(id_a), F.col(id_b)).alias("a"),
@@ -469,14 +570,27 @@ def connected_components(
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     sig = _edge_signature(edges)
     if sig[0] == 0:
         return edges.select(F.col("a").alias("node"), F.col("b").alias("component"))
+    if sig[0] <= local_max_edges:
+        # adaptive physical strategy, same philosophy as AQE's runtime
+        # broadcast conversion: the probe already paid for an exact edge
+        # count, and LSH dup graphs are tiny relative to their corpus
+        # (edges ~ dup pairs, not docs). Under the cap, union-find on
+        # the driver replaces O(log n) distributed rounds of 4 shuffles
+        # each — driver memory is bounded by the cap (~16 B/edge), and
+        # the distributed alternating-star path below is untouched for
+        # graphs that exceed it.
+        out = _union_find_components(edges.toPandas())
+        return edges.sparkSession.createDataFrame(
+            out, schema="node {t}, component {t}".format(t=edges.schema["a"].dataType.simpleString())
+        )
     converged = False
     for _ in range(max_iter):
-        edges = _small_star(_large_star(edges)).localCheckpoint()
+        edges = _small_star(_large_star(edges)).localCheckpoint(eager=False)
         new_sig = _edge_signature(edges)
         if new_sig == sig:
             converged = True

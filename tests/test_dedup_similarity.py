@@ -242,9 +242,16 @@ def test_connected_components_deep_chain(spark):
         [(ids[i], ids[i + 1]) for i in range(len(ids) - 1)],
         "doc_a long, doc_b long",
     )
-    got = D.connected_components(pairs).toPandas()
+    # distributed alternating-star path (forced) and the default
+    # size-gated local union-find path must agree label-for-label
+    got = D.connected_components(pairs, local_max_edges=0).toPandas()
     assert set(got["component"]) == {1000}
     assert set(got["node"]) == set(ids)
+    loc = D.connected_components(pairs).toPandas()
+    assert (
+        dict(zip(loc["node"], loc["component"]))
+        == dict(zip(got["node"], got["component"]))
+    )
     # and a second, disjoint deep chain stays separate
     ids2 = list(range(5000, 5101))
     rng.shuffle(ids2)
@@ -268,7 +275,7 @@ def test_connected_components_raises_on_iteration_cap(spark):
         [(i, i + 1) for i in range(200)], "doc_a long, doc_b long"
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        D.connected_components(pairs, max_iter=1)
+        D.connected_components(pairs, max_iter=1, local_max_edges=0)
 
 
 def test_connected_components_empty_and_self_pairs(spark):
