@@ -33,6 +33,7 @@ _SAMPLE_FIRST = [
     "e05_embedding_dup_clusters",
     "e06_semantic_decontamination",
     "v01_vet_json_roundtrip",
+    "g19_cluster_hulls",  # new in round 6 — no driver row yet
 ]
 
 

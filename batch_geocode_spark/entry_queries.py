@@ -1468,7 +1468,10 @@ QUERIES["g18_spatial_clusters"] = g18_spatial_clusters
 # the shared geo CTE chain (g16 pattern)
 _CLUSTER_M = 2**CLUSTER_RES
 _HAV_AB = haversine_sql("a.lat", "a.lng", "b.lat", "b.lng")
-ORACLES["g18_spatial_clusters"] = GEO_CTES.replace("WITH ", "WITH RECURSIVE ", 1) + (
+# the DBSCAN assignment chain (sites → ring-join candidates → cores →
+# recursive closure → per-site cluster assignment) is shared by the
+# g18 summary oracle and the g19 hull oracle
+_CLUSTER_CHAIN = (
     f""",
     sites AS (
       SELECT best_lat AS lat, best_long AS lng,
@@ -1505,7 +1508,12 @@ ORACLES["g18_spatial_clusters"] = GEO_CTES.replace("WITH ", "WITH RECURSIVE ", 1
       UNION ALL SELECT node, component, FALSE AS is_core FROM border),
     asg AS (
       SELECT s.component AS cluster, s.is_core, t.lat, t.lng, t.w
-      FROM assigned s JOIN sites t ON s.node = t.site_id),
+      FROM assigned s JOIN sites t ON s.node = t.site_id)"""
+)
+ORACLES["g18_spatial_clusters"] = GEO_CTES.replace(
+    "WITH ", "WITH RECURSIVE ", 1
+) + _CLUSTER_CHAIN + (
+    f""",
     -- antimeridian-aware centroid_lng: largest-gap rotation (exact
     -- decimal arithmetic, mirrors cluster.cluster_summary)
     clngs AS (SELECT DISTINCT cluster, lng FROM asg),
@@ -1540,6 +1548,89 @@ ORACLES["g18_spatial_clusters"] = GEO_CTES.replace("WITH ", "WITH RECURSIVE ", 1
                / SUM(a.w) + MIN(o.origin) AS raw_lng
       FROM asg a JOIN origins o USING (cluster)
       GROUP BY 1)
+"""
+)
+
+
+def g19_cluster_hulls(spark, sf_dir):
+    """Per-cluster convex-hull outlines (``cluster.cluster_hulls``):
+    the geometry to draw next to g18's centroid. Spark side runs
+    Andrew's monotone chain per cluster in ``applyInPandas`` (per-group
+    state = the cluster's gazetteer-scale sites); the oracle derives
+    the same vertex set with an O(n³) half-plane predicate (a point is
+    on the hull iff some other point sees every point on one side) and
+    reproduces the exact CCW ring enumeration — lower chain west→east,
+    east end, upper chain east→west — with pure float compares, no
+    transcendentals."""
+    from batch_geocode_spark.operators import cluster as C
+
+    _, best = _geocoded(spark, sf_dir)
+    pts = best.select(
+        F.col("image_id").alias("pt_id"),
+        F.col("best_lat").alias("lat"),
+        F.col("best_long").alias("lng"),
+    )
+    assigned = C.spatial_clusters(
+        pts, eps_km=CLUSTER_EPS_KM, min_pts=CLUSTER_MIN_PTS, res=CLUSTER_RES
+    )
+    # hull predicates branch on float compares, so the two engines must
+    # see IDENTICAL coordinates: composite-mean coords differ in the
+    # last ulp across engines — round to 6 dp (~0.1 m) before the hull,
+    # the repo-wide cross-engine invariant (clustering itself is
+    # unaffected; it runs on the raw coordinates above)
+    rounded = assigned.withColumn("lat", F.round("lat", 6)).withColumn(
+        "lng", F.round("lng", 6)
+    )
+    return C.cluster_hulls(rounded)
+
+
+QUERIES["g19_cluster_hulls"] = g19_cluster_hulls
+ORACLES["g19_cluster_hulls"] = GEO_CTES.replace(
+    "WITH ", "WITH RECURSIVE ", 1
+) + _CLUSTER_CHAIN + (
+    """,
+    cpts AS (SELECT DISTINCT cluster, ROUND(lng, 6) AS lng, ROUND(lat, 6) AS lat FROM asg),
+    n1 AS (SELECT cluster FROM cpts GROUP BY 1 HAVING COUNT(*) = 1),
+    -- p is a hull vertex iff some q (its CCW successor) puts every r
+    -- of the cluster on the non-negative-cross side; singleton
+    -- clusters (no q) union back in
+    hv AS (
+      SELECT p.cluster, p.lng, p.lat
+      FROM cpts p JOIN cpts q
+        ON q.cluster = p.cluster AND (q.lng <> p.lng OR q.lat <> p.lat)
+      WHERE NOT EXISTS (
+        SELECT 1 FROM cpts r
+        WHERE r.cluster = p.cluster
+          AND (q.lng - p.lng) * (r.lat - p.lat)
+            - (q.lat - p.lat) * (r.lng - p.lng) < 0)
+      GROUP BY 1, 2, 3
+      UNION ALL
+      SELECT c.cluster, p.lng, p.lat FROM cpts p JOIN n1 c USING (cluster)),
+    ends AS (
+      SELECT cluster,
+             FIRST(lng ORDER BY lng, lat) AS p0_lng,
+             FIRST(lat ORDER BY lng, lat) AS p0_lat,
+             FIRST(lng ORDER BY lng DESC, lat DESC) AS pn_lng,
+             FIRST(lat ORDER BY lng DESC, lat DESC) AS pn_lat
+      FROM hv GROUP BY 1),
+    ring AS (
+      SELECT h.cluster, h.lat, h.lng,
+             CASE WHEN h.lng = e.pn_lng AND h.lat = e.pn_lat THEN 1
+                  WHEN h.lng = e.p0_lng AND h.lat = e.p0_lat THEN 0
+                  WHEN (e.pn_lng - e.p0_lng) * (h.lat - e.p0_lat)
+                     - (e.pn_lat - e.p0_lat) * (h.lng - e.p0_lng) < 0 THEN 0
+                  ELSE 1 END AS chain
+      FROM hv h JOIN ends e USING (cluster))
+    SELECT cluster,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY cluster
+             ORDER BY chain,
+                      CASE WHEN chain = 0 THEN lng ELSE -lng END,
+                      CASE WHEN chain = 0 THEN lat ELSE -lat END) AS INT) - 1
+             AS hull_idx,
+           lat, lng,
+           CAST(COUNT(*) OVER (PARTITION BY cluster) AS INT) AS n_vertices
+    FROM ring
 """
 )
 

@@ -194,6 +194,63 @@ def cluster_sites(
     )
 
 
+def cluster_hulls(assigned: DataFrame) -> DataFrame:
+    """(cluster, hull_idx, lat, lng, n_vertices): convex-hull outline of
+    each cluster's sites — the per-cluster geometry to draw next to
+    ``cluster_summary``'s centroid.
+
+    Ring order (deterministic, engine-independent, no transcendentals):
+    hull_idx 0 is the lexicographically smallest vertex by (lng, lat);
+    the ring then walks the LOWER chain west→east, the east end, and
+    the UPPER chain east→west — i.e. counter-clockwise. Strict hull
+    vertices only (collinear edge-interior points are dropped; exact
+    ties are measure-zero on float coordinates).
+
+    Scale shape: Andrew's monotone chain runs per cluster inside
+    ``applyInPandas`` — per-group state is the cluster's SITES
+    (gazetteer-scale, thousands at most, never the point corpus), so
+    the kernel is O(n log n) per group and the only shuffle is the
+    groupBy(cluster) of site-width rows."""
+    import pandas as pd
+
+    def hull(pdf: pd.DataFrame) -> pd.DataFrame:
+        cluster = pdf["cluster"].iloc[0]
+        pts = sorted(set(zip(pdf["lng"].tolist(), pdf["lat"].tolist())))
+
+        def cross(o, a, b):
+            return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+
+        if len(pts) <= 2:
+            ring = pts
+        else:
+            lower: list = []
+            for p in pts:
+                while len(lower) >= 2 and cross(lower[-2], lower[-1], p) <= 0:
+                    lower.pop()
+                lower.append(p)
+            upper: list = []
+            for p in reversed(pts):
+                while len(upper) >= 2 and cross(upper[-2], upper[-1], p) <= 0:
+                    upper.pop()
+                upper.append(p)
+            ring = lower[:-1] + upper[:-1]
+        return pd.DataFrame(
+            {
+                "cluster": cluster,
+                "hull_idx": range(len(ring)),
+                "lat": [p[1] for p in ring],
+                "lng": [p[0] for p in ring],
+                "n_vertices": len(ring),
+            }
+        )
+
+    ctype = assigned.schema["cluster"].dataType.simpleString()
+    return assigned.groupBy("cluster").applyInPandas(
+        hull,
+        schema=f"cluster {ctype}, hull_idx int, lat double, lng double, n_vertices int",
+    )
+
+
 def cluster_summary(assigned: DataFrame) -> DataFrame:
     """Per-cluster rollup: site/point counts and the point-weighted
     centroid. Centroid sums accumulate coordinates as exact decimals

@@ -100,3 +100,38 @@ def test_no_cartesian_plan(fixture_points):
 def test_res_guard(fixture_points):
     with pytest.raises(ValueError):
         C.eps_site_pairs(C.weighted_sites(fixture_points), 100.0, res=1)
+
+
+def test_cluster_hulls_known_shapes(spark):
+    """Square + interior point → 4-vertex CCW ring from the
+    lexicographic (lng, lat) minimum; 2-site and 1-site clusters
+    degrade to 2- and 1-vertex outlines."""
+    rows = [
+        # (cluster, lat, lng, w, is_core) — square with center
+        (1, 0.0, 0.0), (1, 0.0, 1.0), (1, 1.0, 0.0), (1, 1.0, 1.0),
+        (1, 0.5, 0.5),
+        (2, 5.0, 5.0), (2, 5.0, 6.0),
+        (3, 7.0, -9.0),
+    ]
+    sdf = spark.createDataFrame(
+        [(c, lat, lng, 1, True) for (c, lat, lng) in rows],
+        "cluster long, lat double, lng double, w long, is_core boolean",
+    )
+    got = (
+        C.cluster_hulls(sdf)
+        .toPandas()
+        .sort_values(["cluster", "hull_idx"])
+        .reset_index(drop=True)
+    )
+    sq = got[got["cluster"] == 1]
+    # interior point dropped; CCW from (lng=0, lat=0): east along the
+    # lower chain, then back west along the upper chain
+    assert list(zip(sq["lng"], sq["lat"])) == [
+        (0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0)
+    ]
+    assert set(sq["n_vertices"]) == {4}
+    pair = got[got["cluster"] == 2]
+    assert list(zip(pair["lng"], pair["lat"])) == [(5.0, 5.0), (6.0, 5.0)]
+    single = got[got["cluster"] == 3]
+    assert list(zip(single["lng"], single["lat"])) == [(-9.0, 7.0)]
+    assert list(single["n_vertices"]) == [1]
