@@ -84,16 +84,26 @@ def main(argv: list[str] | None = None) -> int:
         salt=args.salt,
         max_band_df=args.max_band_df,
     )
+    stages = snap["metrics"]["curation_stages"]
     print(
         json.dumps(
             {
                 "output": args.output,
                 "snapshot_id": snap["snapshot_id"],
                 "rows": snap["total_rows"],
-                "curation_stages": snap["metrics"]["curation_stages"],
+                "curation_stages": stages,
             }
         )
     )
+    # human-readable audit table after the machine-parsable JSON line:
+    # the manifest already records these, but the run itself should
+    # show what each stage removed without anyone opening the manifest
+    print("\ncuration stages (surviving rows):")
+    prev = None
+    for stage, n in stages.items():
+        delta = "" if prev is None else f"  (-{prev - n:,})"
+        print(f"  {stage:34s} {n:>12,}{delta}")
+        prev = n
     spark.stop()
     return 0
 

@@ -171,3 +171,39 @@ def test_vet_json_document_roundtrip(spark, wide):
             continue
         a, b = got.loc[untouched, col], want.loc[untouched, col]
         assert a.equals(b), col
+
+
+def test_curate_cli_prints_stage_table(tmp_path):
+    """The curation CLI must emit the machine-parsable JSON line AND a
+    human-readable per-stage row-count table (the auditable record,
+    visible without opening the snapshot manifest)."""
+    out_p = str(tmp_path / "curated")
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "batch_geocode_spark.curate_cli",
+            "--input", "/root/testdata/sf0.001/documents.parquet",
+            "--embeddings", "/root/testdata/sf0.001/embeddings.parquet",
+            "--output", out_p,
+            "--master", "local[2]",
+            "--n-buckets", "4",
+        ],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    line = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")][-1]
+    report = json.loads(line)
+    stages = report["curation_stages"]
+    assert stages["input"] > 0 and report["rows"] == stages["after_stratified_sample"]
+    # the visible table lists every stage with its surviving row count
+    assert "curation stages (surviving rows)" in proc.stdout
+    for stage, n in stages.items():
+        matching = [
+            ln for ln in proc.stdout.splitlines()
+            if ln.strip().startswith(stage) and f"{n:,}" in ln
+        ]
+        assert matching, f"stage {stage} missing from printed table"
