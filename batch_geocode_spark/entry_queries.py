@@ -1952,17 +1952,38 @@ def _ann_verify_oracle(extra_cols: str = "") -> str:
     # recompute, ranks are 1..k with non-increasing cosine, no rank-r
     # cosine exceeds the brute-force rank-r cosine, recall clears the
     # documented bar (e04) and the blocking join is candidate-sound
-    # (e03). Any drift in the LSH/IVF candidate join, the rescoring
-    # arithmetic, or the window ranking flips a value and fails the
-    # hash.
+    # (e03). bf_cos_sum is the one VALUE column (ADVICE r5): DuckDB
+    # recomputes the brute-force top-5 exact-cosine sum from the
+    # embeddings table itself, so the in-engine verification summary is
+    # anchored by a cross-engine number — a tolerance or aggregation
+    # bug in ann_verification_summary's brute-force branch now fails
+    # the hash instead of passing trivially.
     return f"""
-    SELECT vec_id AS query_id,
+    WITH pc AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+        list_sum(list_transform(range(1, len(c.embedding) + 1),
+          i -> CAST(c.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))
+        / (sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           * sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+          AS cos
+      FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < 10),
+    ranked AS (
+      SELECT query_id, cos,
+        ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id ASC) AS rnk
+      FROM pc),
+    bf AS (
+      SELECT query_id, ROUND(SUM(cos), 4) AS bf_cos_sum
+      FROM ranked WHERE rnk <= 5 GROUP BY 1)
+    SELECT e.vec_id AS query_id,
       CAST(5 AS BIGINT) AS n_emitted,
       CAST(5 AS BIGINT) AS n_cos_verified,
       TRUE AS ranks_ok,
       TRUE AS bounded_ok,
-      TRUE AS recall_ok{extra_cols}
-    FROM embeddings WHERE vec_id < 10
+      TRUE AS recall_ok,
+      bf.bf_cos_sum AS bf_cos_sum{extra_cols}
+    FROM embeddings e JOIN bf ON bf.query_id = e.vec_id
+    WHERE e.vec_id < 10
     ORDER BY query_id
 """
 

@@ -47,9 +47,12 @@ def brute_force_topk(
     c_id: str = "vec_id",
     q_vec: str = "embedding",
     c_vec: str = "embedding",
+    round_dp: int | None = 6,
 ) -> DataFrame:
     """Exact cosine top-k: corpus ⋈_broadcast queries (cross), JVM-side
-    dot products, per-query window top-k."""
+    dot products, per-query window top-k. ``round_dp=None`` keeps the
+    raw double cosines (the verification summary aggregates them before
+    its own rounding)."""
     q = queries.select(
         F.col(q_id).alias("query_id"), _as_double(F.col(q_vec)).alias("qv")
     ).withColumn("qn", _norm(F.col("qv")))
@@ -60,11 +63,16 @@ def brute_force_topk(
         "cos_sim", _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("corpus_id"))
+    out_cos = (
+        F.round("cos_sim", round_dp).alias("cos_sim")
+        if round_dp is not None
+        else F.col("cos_sim")
+    )
     return (
         joined.filter(F.col("query_id") != F.col("corpus_id"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "corpus_id", F.round("cos_sim", 6).alias("cos_sim"), "rank")
+        .select("query_id", "corpus_id", out_cos, "rank")
     )
 
 
@@ -193,6 +201,11 @@ def ann_verification_summary(
       vs the brute-force top-k — ``brute_force_topk`` is the e01-family
       operator, value-checked by its own oracle on the same tables),
     - ``recall_ok``: |ANN ∩ exact top-k| ≥ ceil(min_recall · k),
+    - ``bf_cos_sum``: the sum of the brute-force top-k EXACT cosines,
+      rounded to 4 dp — the one column whose expected VALUE the DuckDB
+      oracle recomputes from the embeddings table itself (ADVICE r5:
+      without it every expected value was a constant and the engine
+      verified itself; this number is cross-engine),
     - ``cand_sound_ok`` (only when ``candidates`` — the (query_id,
       corpus_id) candidate pairs the ANN's blocking step generated —
       is passed): every exact-top-k member that IS a candidate appears
@@ -225,7 +238,7 @@ def ann_verification_summary(
             (F.abs(F.col("cos_sim") - F.col("exact_cos")) <= tol).alias("cos_match"),
         )
     )
-    exact = brute_force_topk(queries, corpus, k=k)
+    exact = brute_force_topk(queries, corpus, k=k, round_dp=None)
     hits = exact.select(
         "query_id", "corpus_id", F.lit(True).alias("in_exact")
     )
@@ -260,6 +273,10 @@ def ann_verification_summary(
         F.min("bound_ok").alias("bounded_ok"),
         (F.count(F.when(F.col("in_exact"), 1)) >= need).alias("recall_ok"),
     )
+    bf = exact.groupBy("query_id").agg(
+        F.round(F.sum("cos_sim"), 4).alias("bf_cos_sum")
+    )
+    summary = summary.join(bf, "query_id", "left")
     if candidates is not None:
         ex_cand = exact.join(
             candidates.select("query_id", "corpus_id"),
