@@ -268,3 +268,71 @@ def test_zonal_stats_broadcasts_polygons(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_minhash_plan_has_no_string_reassembly(spark):
+    """The LSH pipeline's shingle table must stay the grouped HASH-SET
+    shape: no collect_list + sort_array band reassembly (the old
+    explode-to-64-rows/doc + regroup), no string collect_set for the
+    verify branch, never a sort-merge or cartesian join. The lazy plan
+    duplicates the grouped subtree by design (eager=False is pure
+    lineage), so we pin shapes, not subtree counts."""
+    from batch_geocode_spark.operators import dedup as D
+
+    docs = spark.createDataFrame(
+        [(i, "w%d x y z a b c d" % (i % 3)) for i in range(30)],
+        "doc_id long, text string",
+    )
+    plan = _plan(D.minhash_lsh_pairs(docs, eager=False, cache_shingles=False))
+    assert "collect_set" in plan           # the one grouped aggregate
+    assert "collect_list" not in plan      # perm-level reassembly gone
+    assert "sort_array" not in plan        # band-key sort gone
+    assert "array_intersect" in plan       # verify runs on hash arrays
+    # (the verify join may plan SMJ statically — AQE converts it to a
+    # broadcast join at runtime once the candidate side proves tiny)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_decontamination_corpus_never_shuffles_before_join(spark):
+    """decontamination_flags' 100TB contract: the corpus side streams
+    shingle-exploded through a BROADCAST join with no corpus-side
+    exchange before it. Exactly three hash exchanges may exist — the
+    (small) eval-side distinct and the two-phase countDistinct AFTER
+    the broadcast filter; a fourth means someone re-added the
+    corpus-side distinct (a full wide-string shuffle)."""
+    import re
+
+    from batch_geocode_spark.operators import dedup as D
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta eta theta iota %d" % i)
+         for i in range(40)],
+        "doc_id long, text string",
+    )
+    ev = docs.filter("doc_id % 7 = 0")
+    co = docs.filter("doc_id % 7 <> 0")
+    plan = _plan(D.decontamination_flags(co, ev))
+    nodes = re.findall(r"\(\d+\) (\w*Exchange)", plan)
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+    assert nodes.count("BroadcastExchange") >= 1
+    assert nodes.count("Exchange") <= 3, nodes
+
+
+def test_cluster_hulls_single_shuffle(spark):
+    """cluster_hulls is one groupBy(cluster) exchange into
+    FlatMapGroupsInPandas — per-group state is gazetteer-scale sites,
+    and nothing may add a join or second shuffle."""
+    import re
+
+    from batch_geocode_spark.operators import cluster as C
+
+    sdf = spark.createDataFrame(
+        [(1, 0.0, 0.0, 1, True), (1, 1.0, 1.0, 1, True)],
+        "cluster long, lat double, lng double, w long, is_core boolean",
+    )
+    plan = _plan(C.cluster_hulls(sdf))
+    nodes = re.findall(r"\(\d+\) (\w*Exchange)", plan)
+    assert nodes == ["Exchange"]
+    assert "FlatMapGroupsInPandas" in plan
+    assert "Join" not in plan
