@@ -82,26 +82,37 @@ def ngram_jaccard_pairs(
     *blocking* step only — with the convention that pair candidates come
     from shared rare shingles. Jaccard itself is computed on full
     shingle sets, so results are exact for every candidate pair.
+
+    The whole index is built over 64-bit shingle HASHES, not strings:
+    every shuffle (the per-doc distinct, the df counts, the two
+    inverted-index self-joins) carries 8-byte keys instead of ~30-byte
+    n-gram text — the dominant shuffle-volume term at corpus scale. A
+    within-pair hash collision (the only kind that could perturb a
+    Jaccard value) has probability ~|union|²/2⁶⁴ per pair.
     """
-    sh = word_shingles(docs, n=n, text_col=text_col)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
-    df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    rare = sh.join(
-        df_counts.filter(F.col("df") <= max_df).select("shingle"), "shingle", "inner"
+    sh = (
+        docs.select("doc_id", F.explode(shingle_array(n, text_col)).alias("shingle"))
+        .select("doc_id", F.xxhash64("shingle").alias("x"))
+        .distinct()
     )
-    a = rare.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = rare.select(F.col("doc_id").alias("doc_b"), "shingle")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
+    df_counts = sh.groupBy("x").agg(F.count(F.lit(1)).alias("df"))
+    rare = sh.join(
+        df_counts.filter(F.col("df") <= max_df).select("x"), "x", "inner"
+    )
+    a = rare.select(F.col("doc_id").alias("doc_a"), "x")
+    b = rare.select(F.col("doc_id").alias("doc_b"), "x")
     shared = (
-        a.join(b, "shingle")
+        a.join(b, "x")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_shared_rare"))
     )
     # exact intersection on full sets for candidates
-    full_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    full_b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    full_a = sh.select(F.col("doc_id").alias("doc_a"), "x")
+    full_b = sh.select(F.col("doc_id").alias("doc_b"), "x")
     inter = (
-        full_a.join(full_b, "shingle")
+        full_a.join(full_b, "x")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .join(shared.select("doc_a", "doc_b"), ["doc_a", "doc_b"], "left_semi")
         .groupBy("doc_a", "doc_b")
