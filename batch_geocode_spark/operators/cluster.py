@@ -194,6 +194,32 @@ def cluster_sites(
     )
 
 
+def hull_ring(points: list[tuple[float, float]]) -> list[tuple[float, float]]:
+    """Convex hull of (x, y) points via Andrew's monotone chain,
+    returned in ring order: the lexicographically smallest vertex
+    first, lower chain west→east, the east end, upper chain east→west
+    (counter-clockwise). Strict vertices only — collinear edge-interior
+    points are dropped. ≤2 distinct points return them sorted."""
+    pts = sorted(set(points))
+
+    def cross(o, a, b):
+        return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+
+    if len(pts) <= 2:
+        return pts
+    lower: list = []
+    for p in pts:
+        while len(lower) >= 2 and cross(lower[-2], lower[-1], p) <= 0:
+            lower.pop()
+        lower.append(p)
+    upper: list = []
+    for p in reversed(pts):
+        while len(upper) >= 2 and cross(upper[-2], upper[-1], p) <= 0:
+            upper.pop()
+        upper.append(p)
+    return lower[:-1] + upper[:-1]
+
+
 def cluster_hulls(assigned: DataFrame) -> DataFrame:
     """(cluster, hull_idx, lat, lng, n_vertices): convex-hull outline of
     each cluster's sites — the per-cluster geometry to draw next to
@@ -215,25 +241,7 @@ def cluster_hulls(assigned: DataFrame) -> DataFrame:
 
     def hull(pdf: pd.DataFrame) -> pd.DataFrame:
         cluster = pdf["cluster"].iloc[0]
-        pts = sorted(set(zip(pdf["lng"].tolist(), pdf["lat"].tolist())))
-
-        def cross(o, a, b):
-            return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
-
-        if len(pts) <= 2:
-            ring = pts
-        else:
-            lower: list = []
-            for p in pts:
-                while len(lower) >= 2 and cross(lower[-2], lower[-1], p) <= 0:
-                    lower.pop()
-                lower.append(p)
-            upper: list = []
-            for p in reversed(pts):
-                while len(upper) >= 2 and cross(upper[-2], upper[-1], p) <= 0:
-                    upper.pop()
-                upper.append(p)
-            ring = lower[:-1] + upper[:-1]
+        ring = hull_ring(list(zip(pdf["lng"].tolist(), pdf["lat"].tolist())))
         return pd.DataFrame(
             {
                 "cluster": cluster,

