@@ -34,6 +34,7 @@ _SAMPLE_FIRST = [
     "e06_semantic_decontamination",
     "v01_vet_json_roundtrip",
     "g19_cluster_hulls",  # new in round 6 — no driver row yet
+    "g20_hull_metrics",  # new in round 6 — no driver row yet
 ]
 
 

@@ -1584,6 +1584,48 @@ def g19_cluster_hulls(spark, sf_dir):
     return C.cluster_hulls(rounded)
 
 
+def g20_hull_metrics(spark, sf_dir):
+    """Per-cluster hull geometry metrics composed ON TOP of g19's ring:
+    planar shoelace area (deg², the ring coordinates are 6-dp-rounded
+    and bit-identical cross-engine) and haversine perimeter (km) —
+    window + geo composition over the hull vertices; each cluster's
+    ring closes by joining vertex i to vertex (i+1) mod n."""
+    hulls = g19_cluster_hulls(spark, sf_dir)
+    nxt = hulls.select(
+        "cluster",
+        F.col("hull_idx").alias("nxt_idx"),
+        F.col("lat").alias("lat2"),
+        F.col("lng").alias("lng2"),
+    )
+    edges = hulls.withColumn(
+        "nxt_idx", (F.col("hull_idx") + 1) % F.col("n_vertices")
+    ).join(nxt, ["cluster", "nxt_idx"])
+    return (
+        edges.groupBy("cluster")
+        .agg(
+            F.first("n_vertices").alias("n_vertices"),
+            F.round(
+                F.abs(
+                    F.sum(
+                        F.col("lng") * F.col("lat2") - F.col("lng2") * F.col("lat")
+                    )
+                )
+                / 2,
+                6,
+            ).alias("hull_area_deg2"),
+            F.round(
+                F.sum(
+                    haversine_km(
+                        F.col("lat"), F.col("lng"), F.col("lat2"), F.col("lng2")
+                    )
+                ),
+                6,
+            ).alias("perimeter_km"),
+        )
+    )
+
+
+QUERIES["g20_hull_metrics"] = g20_hull_metrics
 QUERIES["g19_cluster_hulls"] = g19_cluster_hulls
 ORACLES["g19_cluster_hulls"] = GEO_CTES.replace(
     "WITH ", "WITH RECURSIVE ", 1
@@ -1631,6 +1673,23 @@ ORACLES["g19_cluster_hulls"] = GEO_CTES.replace(
            lat, lng,
            CAST(COUNT(*) OVER (PARTITION BY cluster) AS INT) AS n_vertices
     FROM ring
+"""
+)
+ORACLES["g20_hull_metrics"] = (
+    "WITH hulls AS ("
+    + ORACLES["g19_cluster_hulls"]
+    + f"""),
+    e AS (
+      SELECT h.cluster, h.n_vertices, h.lat, h.lng,
+             n.lat AS lat2, n.lng AS lng2
+      FROM hulls h JOIN hulls n
+        ON n.cluster = h.cluster
+       AND n.hull_idx = (h.hull_idx + 1) % h.n_vertices)
+    SELECT cluster, CAST(MIN(n_vertices) AS INT) AS n_vertices,
+           ROUND(ABS(SUM(lng * lat2 - lng2 * lat)) / 2, 6) AS hull_area_deg2,
+           ROUND(SUM({haversine_sql('lat', 'lng', 'lat2', 'lng2')}), 6)
+             AS perimeter_km
+    FROM e GROUP BY 1
 """
 )
 

@@ -190,3 +190,33 @@ def test_hull_ring_property_vs_reference(seed):
             assert all(cross(a, b, p) == 0 for p in distinct) or len(distinct) == 2
         else:
             assert len(distinct) == 1 and ring == distinct
+
+
+def test_hull_metrics_known_square(spark, sf_dir):
+    """g20 composition on a known unit square: shoelace area 1 deg²,
+    perimeter = the four haversine edge lengths."""
+    from batch_geocode_spark import entry_queries as EQ
+    from batch_geocode_spark.functions.geo import np_haversine_km
+
+    # monkeypatch the g19 stage with a fixed ring: unit square at the
+    # equator, CCW from (0, 0)
+    ring = [(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0)]  # (lng, lat)
+    hulls = spark.createDataFrame(
+        [("c1", i, lat, lng, 4) for i, (lng, lat) in enumerate(ring)],
+        "cluster string, hull_idx int, lat double, lng double, n_vertices int",
+    )
+    orig = EQ.g19_cluster_hulls
+    EQ.g19_cluster_hulls = lambda s, d: hulls
+    try:
+        got = EQ.g20_hull_metrics(spark, sf_dir).toPandas()
+    finally:
+        EQ.g19_cluster_hulls = orig
+    assert len(got) == 1
+    row = got.iloc[0]
+    assert row["n_vertices"] == 4
+    assert abs(row["hull_area_deg2"] - 1.0) < 1e-9
+    expect = sum(
+        float(np_haversine_km(a[1], a[0], b[1], b[0]))
+        for a, b in zip(ring, ring[1:] + ring[:1])
+    )
+    assert abs(row["perimeter_km"] - round(expect, 6)) < 1e-5
