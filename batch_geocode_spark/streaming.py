@@ -435,6 +435,27 @@ def read_spatial_clusters(
     return cluster_sites(sites, eps_km=eps_km, min_pts=min_pts, res=res)
 
 
+def read_cluster_hulls(
+    spark: SparkSession,
+    table: SnapshotTable,
+    eps_km: float,
+    min_pts: int,
+    res: int,
+) -> DataFrame:
+    """Serving read: per-cluster convex-hull outlines over the
+    incrementally-maintained site table — ``read_spatial_clusters``'s
+    fold + the identical batch ``cluster.cluster_hulls`` tail, so a
+    stream of point deltas serves the same hull rings a batch run
+    produces (per-group state stays gazetteer-scale sites)."""
+    from batch_geocode_spark.operators.cluster import cluster_hulls
+
+    return cluster_hulls(
+        read_spatial_clusters(
+            spark, table, eps_km=eps_km, min_pts=min_pts, res=res
+        )
+    )
+
+
 def eval_shingle_index(eval_docs: DataFrame, n: int = 8, text_col: str = "text") -> DataFrame:
     """ONE-row static index of an eval/benchmark split for the stateless
     streaming decontamination map: ``eval_map`` is

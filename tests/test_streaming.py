@@ -636,3 +636,15 @@ def test_stream_site_weights_match_batch(spark, tmp_path_factory):
     )
     for col in ("site_id", "w", "cluster", "is_core"):
         assert got[col].tolist() == want[col].tolist(), col
+
+    # hull serving read: the streamed-and-folded site table must yield
+    # the identical hull rings the batch assignment produces
+    got_h = (
+        streaming.read_cluster_hulls(spark, table, eps_km=eps, min_pts=min_pts, res=res)
+        .toPandas().sort_values(["cluster", "hull_idx"]).reset_index(drop=True)
+    )
+    want_h = (
+        C.cluster_hulls(C.spatial_clusters(pts, eps_km=eps, min_pts=min_pts, res=res))
+        .toPandas().sort_values(["cluster", "hull_idx"]).reset_index(drop=True)
+    )
+    assert got_h.equals(want_h)
