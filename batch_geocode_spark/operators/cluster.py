@@ -120,6 +120,7 @@ def spatial_clusters(
     pt_id: str = "pt_id",
     lat: str = "lat",
     lng: str = "lng",
+    eager: bool = True,
 ) -> DataFrame:
     """DBSCAN cluster assignment: (site_id, lat, lng, w, cluster,
     is_core) — one row per non-noise SITE (distinct coordinate); every
@@ -134,20 +135,39 @@ def spatial_clusters(
         eps_km=eps_km,
         min_pts=min_pts,
         res=res,
+        eager=eager,
     )
 
 
 def cluster_sites(
-    sites: DataFrame, eps_km: float, min_pts: int, res: int
+    sites: DataFrame, eps_km: float, min_pts: int, res: int,
+    eager: bool = True,
 ) -> DataFrame:
     """DBSCAN over a prebuilt weighted-site table (site_id, lat, lng,
     w) — the tail of ``spatial_clusters``, exposed separately so
     incrementally-maintained site weights (``streaming.
     stream_site_weights`` deltas folded at read time) cluster through
-    the identical code path as a batch run."""
+    the identical code path as a batch run.
+
+    The plan references ``sites`` and the candidate-pair table three
+    times each (eps-ball mass, core-core edges, border attachment) —
+    pure lineage would recompute the whole upstream (at worst a full
+    corpus geocode) once per branch. Both tables are SMALL by this
+    operator's own scale design (sites are gazetteer-scale, pairs are
+    ring-bounded candidates), so ``eager=True`` (default)
+    localCheckpoints them at call time: one upstream computation,
+    branches read the materialized tables. Same contract note as
+    ``dedup.minhash_lsh_pairs``: construction runs Spark jobs and
+    checkpointed partitions are not fault-tolerant — long-lived
+    cluster jobs that must survive executor loss pass ``eager=False``
+    for a pure-lineage plan."""
     from batch_geocode_spark.operators.dedup import connected_components
 
+    if eager:
+        sites = sites.localCheckpoint()
     nbr = eps_site_pairs(sites, eps_km, res)
+    if eager:
+        nbr = nbr.localCheckpoint()
 
     mass = nbr.groupBy("a_id").agg(F.sum("b_w").alias("eps_mass"))
     cores = mass.filter(F.col("eps_mass") >= min_pts).select(

@@ -36,6 +36,7 @@ HEADLINE = [
     "d05_minhash_lsh",
     "t02_quality_scores",
     "c01_curation_pipeline",
+    "g18_spatial_clusters",
 ]
 
 
