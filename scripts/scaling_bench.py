@@ -456,7 +456,12 @@ stress 10.03 → 2.40s (size-gated driver-local union-find in
 connected_components — the fixed-point probe already pays for an exact
 edge count, so graphs under 200k edges skip the distributed star
 rounds; the distributed path is pinned by a forced test); flagship
-63.7k img/s (best ever).
+63.7k img/s (best ever). Later round-6 windows re-measured 10-20%
+slower across EVERY query at ext ≈ 0 (the known DRAM/GC phase
+variance; treat <25% as noise). g18_spatial_clusters joined the
+headline suite mid-round (4.8-5.8s after the site/pair checkpoint fix
+took it from 12.8s), so suite totals are not like-for-like with r5's
+11-query list — compare per query.
 """
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)
