@@ -462,28 +462,20 @@ def _kmeans_lite(mat: np.ndarray, n_centroids: int, iters: int = 8, seed: int = 
     return cents
 
 
-def ivf_topk(
-    queries: DataFrame,
-    corpus: DataFrame,
-    dim: int,
-    k: int = 10,
-    n_centroids: int = 16,
-    n_probe: int = 4,
-    seed: int = 42,
-    train_sample: int = 4096,
-) -> DataFrame:
-    """IVF approximate top-k: a seeded k-means coarse quantizer assigns
-    every corpus vector to its nearest centroid (inverted lists); each
-    query probes its ``n_probe`` nearest centroids and rescoring is
-    exact cosine on those lists only. The other classic ANN shape next
-    to hyperplane LSH (``ann_lsh_topk``): candidate generation is an
-    equi-join on centroid id — never a cross join."""
+def _train_ivf_centroids(
+    corpus: DataFrame, n_centroids: int, seed: int, train_sample: int
+) -> np.ndarray:
     # orderBy before limit: a bare limit is not stable across partition
     # layouts, which would make the "deterministic seeded" quantizer
     # depend on scan order
     train = corpus.orderBy("vec_id").limit(train_sample).toPandas()
     tmat = np.stack([np.asarray(v, dtype=np.float64) for v in train["embedding"]])
-    cents = _kmeans_lite(tmat, n_centroids, seed=seed)
+    return _kmeans_lite(tmat, n_centroids, seed=seed)
+
+
+def _ivf_corpus_lists(corpus: DataFrame, cents: np.ndarray) -> DataFrame:
+    """(corpus_id, centroid): the inverted lists — every corpus vector
+    assigned to its nearest centroid (Arrow-batched matmul)."""
 
     def assign_corpus(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -496,6 +488,14 @@ def ivf_topk(
                 }
             )
 
+    return corpus.select("vec_id", "embedding").mapInPandas(
+        assign_corpus, schema="corpus_id long, centroid int"
+    )
+
+
+def _ivf_query_probes(
+    queries: DataFrame, cents: np.ndarray, n_probe: int
+) -> DataFrame:
     def assign_queries(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
@@ -505,12 +505,103 @@ def ivf_topk(
             ids = np.repeat(pdf["vec_id"].to_numpy(np.int64), n_probe)
             yield pd.DataFrame({"query_id": ids, "centroid": top.ravel()})
 
-    clists = corpus.select("vec_id", "embedding").mapInPandas(
-        assign_corpus, schema="corpus_id long, centroid int"
-    )
-    probes = queries.select("vec_id", "embedding").mapInPandas(
+    return queries.select("vec_id", "embedding").mapInPandas(
         assign_queries, schema="query_id long, centroid int"
     )
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    table,
+    n_centroids: int = 16,
+    seed: int = 42,
+    train_sample: int = 4096,
+    n_buckets: int = 8,
+    job_id: str | None = None,
+) -> dict:
+    """Build-once IVF index persisted through the snapshot layer: the
+    inverted lists (corpus_id, centroid) land as bucketed parquet, the
+    (tiny) centroid matrix and quantizer params ride in the snapshot
+    manifest metrics. The production serving shape — train and assign
+    ONE time, then ``ivf_topk_from_index`` answers every query batch
+    without retraining or re-scanning corpus embeddings for
+    assignment; rebuilds are atomic snapshot commits with lineage."""
+    from batch_geocode_spark.snapshots import write_snapshotted
+
+    cents = _train_ivf_centroids(corpus, n_centroids, seed, train_sample)
+    clists = _ivf_corpus_lists(corpus, cents)
+    return write_snapshotted(
+        clists,
+        table,
+        key_col="corpus_id",
+        n_buckets=n_buckets,
+        job_id=job_id,
+        metrics={
+            "ivf": {
+                "centroids": [[float(x) for x in row] for row in cents],
+                "n_centroids": n_centroids,
+                "seed": seed,
+                "train_sample": train_sample,
+            }
+        },
+    )
+
+
+def ivf_topk_from_index(
+    spark,
+    table,
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Serve approximate top-k from a persisted ``build_ivf_index``
+    table: centroids come from the manifest, inverted lists from the
+    snapshot data — identical results to a fresh ``ivf_topk`` with the
+    same params (pytest-pinned). ``corpus`` supplies the raw vectors
+    for the exact rescore (the index stores only id → centroid)."""
+    snap = table.current()
+    if snap is None or "ivf" not in snap.get("metrics", {}):
+        raise ValueError(f"{table.root} holds no committed IVF index")
+    meta = snap["metrics"]["ivf"]
+    cents = np.asarray(meta["centroids"], dtype=np.float64)
+    clists = table.read(spark).select("corpus_id", "centroid")
+    probes = _ivf_query_probes(queries, cents, n_probe)
+    return _ivf_rescore(probes, clists, queries, corpus, k)
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    train_sample: int = 4096,
+) -> DataFrame:
+    """IVF approximate top-k in one shot: a seeded k-means coarse
+    quantizer assigns every corpus vector to its nearest centroid
+    (inverted lists); each query probes its ``n_probe`` nearest
+    centroids and rescoring is exact cosine on those lists only. The
+    other classic ANN shape next to hyperplane LSH (``ann_lsh_topk``):
+    candidate generation is an equi-join on centroid id — never a
+    cross join. For repeated query batches over a stable corpus, build
+    the index once with ``build_ivf_index`` and serve with
+    ``ivf_topk_from_index`` (identical results, no retraining)."""
+    cents = _train_ivf_centroids(corpus, n_centroids, seed, train_sample)
+    clists = _ivf_corpus_lists(corpus, cents)
+    probes = _ivf_query_probes(queries, cents, n_probe)
+    return _ivf_rescore(probes, clists, queries, corpus, k)
+
+
+def _ivf_rescore(
+    probes: DataFrame,
+    clists: DataFrame,
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+) -> DataFrame:
     cand = (
         probes.join(clists, "centroid")
         .filter(F.col("query_id") != F.col("corpus_id"))

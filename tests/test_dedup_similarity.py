@@ -545,3 +545,34 @@ def test_ann_verification_summary_catches_corruption(vectors):
     bad_rank = ann.withColumn("rank", F.lit(4) - F.col("rank"))
     got2 = S.ann_verification_summary(bad_rank, queries, vectors, k=3).toPandas()
     assert not got2["ranks_ok"].any()
+
+
+def test_ivf_index_build_then_query_matches_oneshot(spark, tmp_path_factory):
+    """build_ivf_index + ivf_topk_from_index must reproduce ivf_topk
+    exactly (same seed/params): the persisted index — inverted lists in
+    snapshot data, centroids in the manifest — is just the one-shot
+    pipeline split at its natural build/serve seam."""
+    from batch_geocode_spark.operators import similarity as S
+    from batch_geocode_spark.snapshots import SnapshotTable
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter("vec_id < 10")
+    table = SnapshotTable(str(tmp_path_factory.mktemp("ivf_idx")))
+    snap = S.build_ivf_index(emb, table, n_centroids=16, seed=42)
+    assert snap["total_rows"] == emb.count()
+
+    got = (
+        S.ivf_topk_from_index(spark, table, queries, emb, k=5, n_probe=4)
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    want = (
+        S.ivf_topk(queries, emb, dim=64, k=5, n_centroids=16, n_probe=4, seed=42)
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    assert got.equals(want)
+    # and serving from a table with no committed index is a loud error
+    empty = SnapshotTable(str(tmp_path_factory.mktemp("ivf_empty")))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no committed IVF index"):
+        S.ivf_topk_from_index(spark, empty, queries, emb)
