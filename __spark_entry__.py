@@ -35,6 +35,8 @@ _SAMPLE_FIRST = [
     "v01_vet_json_roundtrip",
     "g19_cluster_hulls",  # new in round 6 — no driver row yet
     "g20_hull_metrics",  # new in round 6 — no driver row yet
+    "g21_quadkey_density",  # new in round 6 — no driver row yet
+    "t07_unigram_logprob",  # new in round 6 — no driver row yet
 ]
 
 

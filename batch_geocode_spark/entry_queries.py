@@ -22,7 +22,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from batch_geocode_spark.functions.cells import cell_encode, cell_encode_sql
+from batch_geocode_spark.functions.cells import (
+    cell_encode,
+    cell_encode_sql,
+    quadkey,
+    quadkey_sql,
+)
 from batch_geocode_spark.functions.geo import haversine_km, haversine_sql
 from batch_geocode_spark.operators import geocode as G
 from batch_geocode_spark.operators import knn as KNN
@@ -1692,6 +1697,67 @@ ORACLES["g20_hull_metrics"] = (
     FROM e GROUP BY 1
 """
 )
+
+
+def g21_quadkey_density(spark, sf_dir):
+    """Per-cell density addressed by QUADKEY (Bing-maps tile-string
+    interchange, ``cells.quadkey``): one base-4 digit per level, parent
+    quadkey = child's string prefix, so map clients prune
+    hierarchically with startswith. Pure integer/concat Column exprs;
+    the oracle regenerates the identical strings from the same cell
+    arithmetic."""
+    from batch_geocode_spark.operators import tiles as T
+
+    _, best = _geocoded(spark, sf_dir)
+    dens = T.cell_density(best, res=TILE_RES)
+    qk = quadkey(F.col("cell"), TILE_RES)
+    return dens.select(
+        qk.alias("quadkey"),
+        F.substring(qk, 1, TILE_RES - 3).alias("parent_qk"),
+        "n_images",
+    )
+
+
+QUERIES["g21_quadkey_density"] = g21_quadkey_density
+_QK_SQL = quadkey_sql(
+    cell_encode_sql("best_lat", "best_long", TILE_RES), TILE_RES
+)
+ORACLES["g21_quadkey_density"] = _oracle_geo(
+    f"""
+    SELECT {_QK_SQL} AS quadkey,
+           substr({_QK_SQL}, 1, {TILE_RES - 3}) AS parent_qk,
+           COUNT(*) AS n_images
+    FROM best GROUP BY 1, 2
+"""
+)
+
+
+def t07_unigram_logprob(spark, sf_dir):
+    """Per-doc mean unigram log-probability under the corpus's own
+    unigram distribution (``text.unigram_logprob_scores``) — the
+    perplexity-proxy quality filter next to t02's rule-based scores.
+    The oracle recomputes the full distribution and the count-weighted
+    mean in SQL."""
+    from batch_geocode_spark.operators import text as T
+
+    _views(spark, sf_dir)
+    return T.unigram_logprob_scores(spark.table("documents"))
+
+
+QUERIES["t07_unigram_logprob"] = t07_unigram_logprob
+ORACLES["t07_unigram_logprob"] = r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+      FROM documents),
+    pd AS (SELECT doc_id, tok, COUNT(*) AS cnt FROM toks GROUP BY 1, 2),
+    freq AS (SELECT tok, SUM(cnt) AS tf FROM pd GROUP BY 1),
+    tot AS (SELECT SUM(tf) AS n_total FROM freq)
+    SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+           ROUND(SUM(cnt * LN(tf * 1.0 / n_total)) / SUM(cnt), 6)
+             AS avg_logprob
+    FROM pd JOIN freq USING (tok) CROSS JOIN tot
+    GROUP BY 1
+"""
 
 
 QUERIES["g15_raster_roundtrip"] = g15_raster_roundtrip

@@ -61,7 +61,51 @@ def cell_parent(cell: Column, res: int, parent_res: int) -> Column:
     )
 
 
+def quadkey(cell: Column, res: int) -> Column:
+    """Cell id → quadkey string (Bing-maps-style tile addressing): one
+    base-4 digit per level, MSB first, digit = 2·bit(y) + bit(x). The
+    defining property — a parent cell's quadkey is the child's PREFIX —
+    makes hierarchical pruning a `startswith`, the interchange format
+    map clients expect. Pure integer/concat Column exprs (no UDF), and
+    :func:`quadkey_sql` emits the identical string cross-engine."""
+    if not 1 <= res <= MAX_RES:
+        raise ValueError(f"res must be in [1, {MAX_RES}]")
+    x = (cell % F.lit(_Y_SHIFT)).cast("long")
+    y = F.floor((cell % F.lit(_RES_SHIFT)) / F.lit(_Y_SHIFT)).cast("long")
+    parts = [
+        (
+            (F.floor(y / F.lit(2**i)) % 2) * 2 + (F.floor(x / F.lit(2**i)) % 2)
+        )
+        .cast("int")
+        .cast("string")
+        for i in range(res - 1, -1, -1)
+    ]
+    return F.concat(*parts).alias(f"quadkey_r{res}")
+
+
+def np_quadkey_decode(qk: str) -> tuple[int, int, int]:
+    """Quadkey string → (res, y, x) — the inverse of :func:`quadkey`
+    (tests + client-side tile math)."""
+    res, x, y = len(qk), 0, 0
+    for ch in qk:
+        d = int(ch)
+        x = x * 2 + (d & 1)
+        y = y * 2 + (d >> 1)
+    return res, y, x
+
+
 # ------------------------------------------------------------ SQL generators
+def quadkey_sql(cell: str, res: int) -> str:
+    """Portable SQL producing strings identical to :func:`quadkey`."""
+    x = f"(({cell}) % {_Y_SHIFT})"
+    y = f"((({cell}) % {_RES_SHIFT}) // {_Y_SHIFT})"
+    digits = " || ".join(
+        f"CAST((({y} // {2**i}) % 2) * 2 + (({x} // {2**i}) % 2) AS VARCHAR)"
+        for i in range(res - 1, -1, -1)
+    )
+    return f"({digits})"
+
+
 def cell_encode_sql(lat: str, lng: str, res: int) -> str:
     """Portable SQL producing ids identical to :func:`cell_encode`."""
     n = float(2**res)

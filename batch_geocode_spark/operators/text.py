@@ -212,3 +212,34 @@ def fingerprints(
         F.md5(norm).alias("norm_hash"),
         rolling.alias("rolling_hash"),
     )
+
+
+def unigram_logprob_scores(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc mean unigram log-probability under the corpus's OWN
+    unigram distribution — the classic perplexity-proxy quality filter
+    (docs full of rare garbage tokens score low, fluent text scores
+    high) that sits next to ``quality_scores`` in a pre-training
+    pipeline. Returns (doc_id, n_tokens, avg_logprob).
+
+    Scale shape: the corpus explodes to (doc, token) once and
+    immediately collapses to per-doc distinct-token COUNTS via a
+    map-side-combined groupBy, so the vocabulary join's input is
+    doc × distinct-tokens rows (not raw token instances); the
+    vocabulary table itself is vocab-scale. The score is the
+    count-weighted mean, algebraically identical to averaging over raw
+    instances. No UDFs; log runs JVM-side."""
+    toks = docs.select(id_col, F.explode(_tokens(F.col(text_col))).alias("tok"))
+    per_doc = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    freq = per_doc.groupBy("tok").agg(F.sum("cnt").alias("tf"))
+    tot = freq.agg(F.sum("tf").alias("n_total"))
+    scored = per_doc.join(freq, "tok").crossJoin(F.broadcast(tot))
+    return scored.groupBy(id_col).agg(
+        F.sum("cnt").cast("bigint").alias("n_tokens"),
+        F.round(
+            F.sum(F.col("cnt") * F.log(F.col("tf") / F.col("n_total")))
+            / F.sum("cnt"),
+            6,
+        ).alias("avg_logprob"),
+    )

@@ -115,3 +115,45 @@ def test_cell_ring_batch_degenerate_grid():
             want = sorted(set(cells.np_cell_neighbors(int(c)).tolist()) | {int(c)})
             got = sorted(v for v in mat[i].tolist() if v >= 0)
             assert got == want
+
+
+def test_quadkey_roundtrip_and_prefix(spark):
+    """quadkey: decode(qk) inverts encode, and a parent cell's quadkey
+    is the child's string prefix (the property hierarchical pruning
+    relies on). Cross-checked Column expr vs SQL generator."""
+    import duckdb
+
+    from batch_geocode_spark.functions.cells import (
+        cell_encode,
+        cell_parent,
+        np_cell_decode,
+        np_quadkey_decode,
+        quadkey,
+        quadkey_sql,
+    )
+
+    pts = [(0, 51.5, -0.1), (1, -33.9, 151.2), (2, 89.9, 179.9),
+           (3, -89.9, -179.9), (4, 0.0, 0.0)]
+    df = spark.createDataFrame(pts, "pt long, lat double, lng double")
+    res, pres = 9, 6
+    out = df.select(
+        "pt",
+        cell_encode(F.col("lat"), F.col("lng"), res).alias("cell"),
+        quadkey(cell_encode(F.col("lat"), F.col("lng"), res), res).alias("qk"),
+        quadkey(
+            cell_parent(cell_encode(F.col("lat"), F.col("lng"), res), res, pres),
+            pres,
+        ).alias("pqk"),
+    ).toPandas()
+    for r in out.itertuples():
+        dres, dy, dx = np_quadkey_decode(r.qk)
+        cres, cx, cy = np_cell_decode(r.cell)
+        assert (dres, dy, dx) == (cres, cy, cx)
+        assert r.qk.startswith(r.pqk) and len(r.pqk) == pres
+    # SQL generator emits the identical strings
+    con = duckdb.connect()
+    for r in out.itertuples():
+        got = con.execute(
+            f"SELECT {quadkey_sql(str(r.cell), res)}"
+        ).fetchone()[0]
+        assert got == r.qk

@@ -91,3 +91,33 @@ def test_repetition_scores(spark):
     # doc 3: degenerate -- no bigrams, no dup lines
     assert got.loc[3, "n_lines"] == 1
     assert got.loc[3, "top_bigram_frac"] == 0.0
+
+
+def test_unigram_logprob_matches_bruteforce(spark):
+    """unigram_logprob_scores == the naive per-instance mean of
+    ln(corpus_tf / corpus_total) computed in pandas."""
+    import math
+
+    import pandas as pd
+
+    from batch_geocode_spark.operators.text import unigram_logprob_scores
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": ["the the cat", "the dog", "zebra zebra zebra unique"],
+        }
+    )
+    got = (
+        unigram_logprob_scores(spark.createDataFrame(pdf))
+        .toPandas().set_index("doc_id").sort_index()
+    )
+    toks = {i: t.split() for i, t in zip(pdf["doc_id"], pdf["text"])}
+    from collections import Counter
+
+    tf = Counter(t for ts in toks.values() for t in ts)
+    total = sum(tf.values())
+    for i, ts in toks.items():
+        want = sum(math.log(tf[t] / total) for t in ts) / len(ts)
+        assert got.loc[i, "n_tokens"] == len(ts)
+        assert abs(got.loc[i, "avg_logprob"] - round(want, 6)) < 1e-9
