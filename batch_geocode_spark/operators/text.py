@@ -215,7 +215,10 @@ def fingerprints(
 
 
 def unigram_logprob_scores(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eager: bool = True,
 ) -> DataFrame:
     """Per-doc mean unigram log-probability under the corpus's OWN
     unigram distribution — the classic perplexity-proxy quality filter
@@ -223,23 +226,36 @@ def unigram_logprob_scores(
     high) that sits next to ``quality_scores`` in a pre-training
     pipeline. Returns (doc_id, n_tokens, avg_logprob).
 
-    Scale shape: the corpus explodes to (doc, token) once and
-    immediately collapses to per-doc distinct-token COUNTS via a
-    map-side-combined groupBy, so the vocabulary join's input is
-    doc × distinct-tokens rows (not raw token instances); the
-    vocabulary table itself is vocab-scale. The score is the
-    count-weighted mean, algebraically identical to averaging over raw
-    instances. No UDFs; log runs JVM-side."""
-    toks = docs.select(id_col, F.explode(_tokens(F.col(text_col))).alias("tok"))
-    per_doc = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("cnt"))
-    freq = per_doc.groupBy("tok").agg(F.sum("cnt").alias("tf"))
-    tot = freq.agg(F.sum("tf").alias("n_total"))
-    scored = per_doc.join(freq, "tok").crossJoin(F.broadcast(tot))
+    Scale shape (the two-pass vocabulary pattern): pass 1 explodes the
+    corpus into a map-side-combined (doc, token, count) aggregate and
+    reduces it to the vocab-scale frequency table; pass 2 re-explodes
+    and joins that table, scoring each doc with the count-weighted mean
+    (algebraically identical to averaging over raw token instances).
+    With ``eager=True`` (default) the grand token total — ONE number —
+    is collected at call time and folded in as a literal, so the plan
+    has exactly two corpus passes and zero cross joins; ``eager=False``
+    keeps a fully-recomputable lazy plan (the total rides a 1-row
+    broadcast cross join; each lazy branch recomputes its own explode).
+    No UDFs; log runs JVM-side."""
+
+    def per_doc_counts() -> DataFrame:
+        toks = docs.select(id_col, F.explode(_tokens(F.col(text_col))).alias("tok"))
+        return toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("cnt"))
+
+    freq = per_doc_counts().groupBy("tok").agg(F.sum("cnt").alias("tf"))
+    if eager:
+        # lazy checkpoint + the total collect as its materializing
+        # action: pass 1 runs exactly once and the scoring action reads
+        # the (vocab-scale) checkpointed table instead of re-exploding
+        freq = freq.localCheckpoint(eager=False)
+        total = freq.agg(F.sum("tf")).collect()[0][0]
+        scored = per_doc_counts().join(freq, "tok")
+        logp = F.log(F.col("tf") / F.lit(float(total)))
+    else:
+        tot = freq.agg(F.sum("tf").alias("n_total"))
+        scored = per_doc_counts().join(freq, "tok").crossJoin(F.broadcast(tot))
+        logp = F.log(F.col("tf") / F.col("n_total"))
     return scored.groupBy(id_col).agg(
         F.sum("cnt").cast("bigint").alias("n_tokens"),
-        F.round(
-            F.sum(F.col("cnt") * F.log(F.col("tf") / F.col("n_total")))
-            / F.sum("cnt"),
-            6,
-        ).alias("avg_logprob"),
+        F.round(F.sum(F.col("cnt") * logp) / F.sum("cnt"), 6).alias("avg_logprob"),
     )
