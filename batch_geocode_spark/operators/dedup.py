@@ -75,6 +75,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     max_df: int = 1000,
     text_col: str = "text",
+    eager: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via inverted-index self-join.
 
@@ -89,12 +90,25 @@ def ngram_jaccard_pairs(
     n-gram text — the dominant shuffle-volume term at corpus scale. A
     within-pair hash collision (the only kind that could perturb a
     Jaccard value) has probability ~|union|²/2⁶⁴ per pair.
+
+    The plan references the (doc, hash) table five times (sizes, df
+    counts, rare index, both self-join sides); with ``eager=True``
+    (default) it is persisted spill-safe for the duration of the call
+    and the small pair result is materialized eagerly (the
+    ``minhash_lsh_pairs`` contract — construction runs Spark jobs,
+    the persisted table is unpersisted before returning).
+    ``eager=False`` keeps a pure-lineage plan whose branches each
+    recompute the explode.
     """
     sh = (
         docs.select("doc_id", F.explode(shingle_array(n, text_col)).alias("shingle"))
         .select("doc_id", F.xxhash64("shingle").alias("x"))
         .distinct()
     )
+    if eager:
+        from pyspark import StorageLevel
+
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
     df_counts = sh.groupBy("x").agg(F.count(F.lit(1)).alias("df"))
     rare = sh.join(
@@ -128,6 +142,9 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= F.lit(threshold))
         .select("doc_a", "doc_b", "n_inter", "size_a", "size_b", F.round("jaccard", 6).alias("jaccard"))
     )
+    if eager:
+        out = out.localCheckpoint()
+        sh.unpersist()
     return out
 
 
