@@ -1596,15 +1596,19 @@ def g20_hull_metrics(spark, sf_dir):
     window + geo composition over the hull vertices; each cluster's
     ring closes by joining vertex i to vertex (i+1) mod n."""
     hulls = g19_cluster_hulls(spark, sf_dir)
-    nxt = hulls.select(
+    # close the ring with ONE window pass (lead + wraparound to the
+    # first vertex) — a self-join on (cluster, (i+1) mod n) would
+    # duplicate the whole hull subtree into both join branches
+    w = W.partitionBy("cluster").orderBy("hull_idx")
+    w_all = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    edges = hulls.select(
         "cluster",
-        F.col("hull_idx").alias("nxt_idx"),
-        F.col("lat").alias("lat2"),
-        F.col("lng").alias("lng2"),
+        "n_vertices",
+        "lat",
+        "lng",
+        F.coalesce(F.lead("lat").over(w), F.first("lat").over(w_all)).alias("lat2"),
+        F.coalesce(F.lead("lng").over(w), F.first("lng").over(w_all)).alias("lng2"),
     )
-    edges = hulls.withColumn(
-        "nxt_idx", (F.col("hull_idx") + 1) % F.col("n_vertices")
-    ).join(nxt, ["cluster", "nxt_idx"])
     return (
         edges.groupBy("cluster")
         .agg(
