@@ -518,6 +518,8 @@ def build_ivf_index(
     train_sample: int = 4096,
     n_buckets: int = 8,
     job_id: str | None = None,
+    group_size: int = 8,
+    fail_after_groups: int | None = None,
 ) -> dict:
     """Build-once IVF index persisted through the snapshot layer: the
     inverted lists (corpus_id, centroid) land as bucketed parquet, the
@@ -525,7 +527,12 @@ def build_ivf_index(
     manifest metrics. The production serving shape — train and assign
     ONE time, then ``ivf_topk_from_index`` answers every query batch
     without retraining or re-scanning corpus embeddings for
-    assignment; rebuilds are atomic snapshot commits with lineage."""
+    assignment; rebuilds are atomic snapshot commits with lineage. A
+    build killed mid-commit resumes by re-calling with the same
+    ``job_id`` — the deterministic quantizer retrains to the identical
+    centroids and committed buckets are skipped
+    (``fail_after_groups``/``group_size`` are the snapshot layer's
+    fault-injection/commit-granularity knobs, tests)."""
     from batch_geocode_spark.snapshots import write_snapshotted
 
     cents = _train_ivf_centroids(corpus, n_centroids, seed, train_sample)
@@ -536,6 +543,8 @@ def build_ivf_index(
         key_col="corpus_id",
         n_buckets=n_buckets,
         job_id=job_id,
+        group_size=group_size,
+        fail_after_groups=fail_after_groups,
         metrics={
             "ivf": {
                 "centroids": [[float(x) for x in row] for row in cents],

@@ -576,3 +576,36 @@ def test_ivf_index_build_then_query_matches_oneshot(spark, tmp_path_factory):
 
     with _pytest.raises(ValueError, match="no committed IVF index"):
         S.ivf_topk_from_index(spark, empty, queries, emb)
+
+
+def test_ivf_index_crash_resume_converges(spark, tmp_path_factory):
+    """A build killed after its first commit group resumes with the
+    same job_id (deterministic quantizer retrains identically,
+    committed buckets are skipped) and the recovered index serves the
+    exact same results as an uninterrupted build."""
+    from batch_geocode_spark.operators import similarity as S
+    from batch_geocode_spark.snapshots import SnapshotTable
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter("vec_id < 5")
+
+    crashy = SnapshotTable(str(tmp_path_factory.mktemp("ivf_crashy")))
+    with pytest.raises(RuntimeError, match="injected failure"):
+        S.build_ivf_index(
+            emb, crashy, job_id="j1", n_buckets=8, group_size=2,
+            fail_after_groups=1,
+        )
+    snap = S.build_ivf_index(emb, crashy, job_id="j1", n_buckets=8, group_size=2)
+    assert snap["total_rows"] == emb.count()
+
+    clean = SnapshotTable(str(tmp_path_factory.mktemp("ivf_clean")))
+    S.build_ivf_index(emb, clean, n_buckets=8, group_size=2)
+    got = (
+        S.ivf_topk_from_index(spark, crashy, queries, emb, k=3, n_probe=3)
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    want = (
+        S.ivf_topk_from_index(spark, clean, queries, emb, k=3, n_probe=3)
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    assert got.equals(want)
