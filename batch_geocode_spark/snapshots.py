@@ -78,11 +78,21 @@ class SnapshotTable:
         job_id: str,
         extra: dict | None = None,
         schema_json: str | None = None,
+        new_stats: dict | None = None,
     ) -> dict:
         parent = self.current()
         snap_id = (parent["snapshot_id"] + 1) if parent else 0
         buckets = dict((parent or {}).get("buckets", {}))
         buckets.update({str(b): int(n) for b, n in new_buckets.items()})
+        # per-bucket min/max column stats (data skipping): a REWRITTEN
+        # bucket's old stats are stale, so every committed bucket drops
+        # its entry unless this commit supplies fresh ones — skipping
+        # stays conservative (no stats ⇒ never skipped) by construction
+        stats = dict((parent or {}).get("column_stats", {}))
+        for b in new_buckets:
+            stats.pop(str(b), None)
+        for b, s in (new_stats or {}).items():
+            stats[str(b)] = s
         snap = {
             "snapshot_id": snap_id,
             "parent_id": parent["snapshot_id"] if parent else None,
@@ -90,6 +100,7 @@ class SnapshotTable:
             "committed_at": time.time(),
             "buckets": buckets,
             "total_rows": int(sum(buckets.values())),
+            "column_stats": stats,
             "metrics": extra or {},
             # row schema (JSON) so sparse/empty tables stay readable
             "schema": schema_json or (parent or {}).get("schema"),
@@ -205,8 +216,17 @@ class SnapshotTable:
         spark: SparkSession,
         snapshot_id: int | None = None,
         merge_schema: bool = False,
+        prune: dict[str, tuple] | None = None,
     ) -> DataFrame:
         """Committed rows only (uncommitted bucket dirs are invisible).
+
+        ``prune`` enables manifest-stats data skipping (the Iceberg
+        min/max file-skipping analog at bucket granularity): for each
+        ``{col: (lo, hi)}`` entry, buckets whose committed [min, max]
+        range (written via ``write_snapshotted(stats_cols=...)``) is
+        DISJOINT from [lo, hi] are not scanned at all. Skipping is an
+        optimization, not a filter — returned rows still need the real
+        predicate applied; buckets without stats are always kept.
 
         ``merge_schema=True`` unions the schemas across committed file
         sets (parquet mergeSchema) — the additive-column evolution path:
@@ -230,7 +250,10 @@ class SnapshotTable:
         buckets = {str(k): int(v) for k, v in snap.get("buckets", {}).items()}
         if not buckets:
             raise ValueError(f"no committed snapshot in {self.root}")
-        paths = [self._bucket_path(k) for k, n in sorted(buckets.items()) if n > 0]
+        paths = [
+            self._bucket_path(k)
+            for k in self.live_bucket_keys(snap, prune=prune)
+        ]
         if not paths:
             schema_json = snap.get("schema")
             if schema_json is None:
@@ -248,6 +271,36 @@ class SnapshotTable:
         if merge_schema:
             reader = reader.option("mergeSchema", "true")
         return reader.parquet(*paths)
+
+    def live_bucket_keys(
+        self, snap: dict, prune: dict[str, tuple] | None = None
+    ) -> list[str]:
+        """Bucket keys a read must scan: committed, non-empty, and —
+        with ``prune`` — not provably disjoint from the predicate
+        ranges per the manifest min/max stats (exposed separately so
+        tests can assert exactly WHICH buckets skipping eliminates)."""
+        stats = snap.get("column_stats", {})
+        keys = []
+        for k, n in sorted(snap.get("buckets", {}).items()):
+            if int(n) <= 0:
+                continue
+            st = stats.get(str(k))
+            if prune and st:
+                skip = False
+                for col, (lo, hi) in prune.items():
+                    rng = st.get(col)
+                    if (
+                        rng is not None
+                        and rng[0] is not None
+                        and rng[1] is not None
+                        and (rng[1] < lo or rng[0] > hi)
+                    ):
+                        skip = True
+                        break
+                if skip:
+                    continue
+            keys.append(str(k))
+        return keys
 
     def snapshot(self, snapshot_id: int) -> dict:
         path = os.path.join(self.manifest_dir, f"snapshot-{snapshot_id:06d}.json")
@@ -397,6 +450,7 @@ def write_snapshotted(
     fail_after_groups: int | None = None,
     namespace: str | None = None,
     metrics: dict | None = None,
+    stats_cols: list[str] | None = None,
 ) -> dict:
     """Write ``df`` into ``table`` in bucket groups, committing a snapshot
     (with per-bucket row counts + lineage) after each group.
@@ -412,6 +466,12 @@ def write_snapshotted(
     ``fail_after_groups`` injects a crash after N commits (tests).
     Resume = call again with the same args: committed buckets are
     skipped, pending ones recomputed and committed as child snapshots.
+
+    ``stats_cols`` records per-bucket min/max for the named columns in
+    the manifest (numeric or string, JSON-representable) — the data
+    the read side's ``prune`` uses for bucket skipping. The stats ride
+    the SAME per-group aggregate that already computes bucket counts,
+    so enabling them adds no extra job.
     """
     spark = df.sparkSession
     job_id = job_id or uuid.uuid4().hex[:12]
@@ -448,10 +508,21 @@ def write_snapshotted(
     for gi, group in enumerate(groups):
         part = source.filter(F.col("bucket").isin([int(b) for b in group]))
         part.write.mode("overwrite").partitionBy(*part_cols).parquet(table.data_dir)
-        counts = {
-            key_of(int(r["bucket"])): int(r["count"])
-            for r in part.groupBy("bucket").count().collect()
-        }
+        aggs = [F.count(F.lit(1)).alias("count")]
+        for c in stats_cols or []:
+            aggs += [F.min(c).alias(f"__mn_{c}"), F.max(c).alias(f"__mx_{c}")]
+        rows = part.groupBy("bucket").agg(*aggs).collect()
+        counts = {key_of(int(r["bucket"])): int(r["count"]) for r in rows}
+        stats = (
+            {
+                key_of(int(r["bucket"])): {
+                    c: [r[f"__mn_{c}"], r[f"__mx_{c}"]] for c in stats_cols
+                }
+                for r in rows
+            }
+            if stats_cols
+            else None
+        )
         for b in group:  # empty buckets still count as committed
             counts.setdefault(key_of(int(b)), 0)
         last = table.commit(
@@ -465,6 +536,7 @@ def write_snapshotted(
                 **(metrics or {}),
             },
             schema_json=schema_json,
+            new_stats=stats,
         )
         if fail_after_groups is not None and gi + 1 >= fail_after_groups:
             raise RuntimeError(f"injected failure after {gi + 1} group commits")

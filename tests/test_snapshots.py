@@ -360,3 +360,52 @@ def test_tile_pyramid_rejects_non_strict_levels(spark, best_df):
     for bad in [(9, 9, 3), (9, 3, 3), (3, 6), ()]:
         with pytest.raises(ValueError):
             R.tile_pyramid(dens, levels=bad)
+
+
+def test_manifest_stats_bucket_skipping(spark, tmp_path_factory):
+    """Iceberg-style data skipping: per-batch namespaces with disjoint
+    ts ranges write min/max stats into the manifest; a pruned read
+    scans ONLY the batches whose range intersects the predicate, and
+    the surviving rows (after the real filter) equal the unpruned
+    filter. Buckets without stats are never skipped, and a rewritten
+    bucket drops its stale stats."""
+    t = SnapshotTable(str(tmp_path_factory.mktemp("stats_skip")))
+    for i, ns in enumerate(["b0", "b1", "b2"]):
+        df = spark.createDataFrame(
+            [(f"k{i}_{j}", i * 10 + j % 10) for j in range(40)],
+            "image_id string, ts long",
+        )
+        write_snapshotted(
+            df, t, n_buckets=4, namespace=ns, stats_cols=["ts"]
+        )
+    snap = t.current()
+    assert all(k.split("/")[0] in {"b0", "b1", "b2"} for k in snap["column_stats"])
+    # predicate ts in [12, 15] intersects ONLY batch b1 (ts 10-19)
+    live = t.live_bucket_keys(snap, prune={"ts": (12, 15)})
+    assert live and all(k.startswith("b1/") for k in live)
+    got = (
+        t.read(spark, prune={"ts": (12, 15)})
+        .filter("ts >= 12 and ts <= 15")
+        .orderBy("image_id")
+        .toPandas()
+    )
+    want = (
+        t.read(spark)
+        .filter("ts >= 12 and ts <= 15")
+        .orderBy("image_id")
+        .toPandas()
+    )
+    assert got.equals(want) and len(got) > 0
+    # no stats -> never skipped (conservative)
+    nostats = SnapshotTable(str(tmp_path_factory.mktemp("stats_none")))
+    df = spark.createDataFrame([("a", 1), ("b", 2)], "image_id string, ts long")
+    write_snapshotted(df, nostats, n_buckets=2)
+    s2 = nostats.current()
+    assert t and nostats.live_bucket_keys(s2, prune={"ts": (100, 200)}) == \
+        nostats.live_bucket_keys(s2)
+    # a rewrite WITHOUT stats drops the bucket's stale entry
+    rewrites = {k: 1 for k in snap["buckets"] if k.startswith("b1/")}
+    t.commit(rewrites, "rewrite-job")
+    after = t.current()
+    assert not any(k.startswith("b1/") for k in after["column_stats"])
+    assert any(k.startswith("b0/") for k in after["column_stats"])
