@@ -83,6 +83,36 @@ def quadkey(cell: Column, res: int) -> Column:
     return F.concat(*parts).alias(f"quadkey_r{res}")
 
 
+def cell_ring_cells(cell: Column, res: int) -> Column:
+    """9-cell neighborhood (8-ring + center) of a res-level cell id as a
+    pure Column expression: array<long> of length 9 in the same
+    (dy-major) order as :func:`np_cell_ring_batch`, lng wraps, lat
+    clamps — out-of-range entries are -1 (filter them after explode).
+    Replaces the pandas_udf ring encoder on the kNN/DBSCAN candidate
+    paths (guide §4.1: built-ins over UDFs — no Python boundary, no
+    ArrowEvalPython stage). ``res >= 2`` required: below that the lng
+    wrap makes ring columns collide and the array is no longer a set
+    (np_cell_ring_batch handles that case; every caller here already
+    enforces res >= 2)."""
+    if not 2 <= res <= MAX_RES:
+        raise ValueError(f"res must be in [2, {MAX_RES}]")
+    n = 2**res
+    x = cell % F.lit(_Y_SHIFT)
+    y = F.floor((cell % F.lit(_RES_SHIFT)) / F.lit(_Y_SHIFT)).cast("long")
+    entries = []
+    for dy in (-1, 0, 1):
+        yy = y + F.lit(dy)
+        for dx in (-1, 0, 1):
+            xx = F.pmod(x + F.lit(dx), F.lit(n))
+            entries.append(
+                F.when(
+                    (yy >= 0) & (yy < n),
+                    F.lit(res).cast("long") * F.lit(_RES_SHIFT) + yy * F.lit(_Y_SHIFT) + xx,
+                ).otherwise(F.lit(-1).cast("long"))
+            )
+    return F.array(*entries).alias(f"ring_r{res}")
+
+
 def np_quadkey_decode(qk: str) -> tuple[int, int, int]:
     """Quadkey string → (res, y, x) — the inverse of :func:`quadkey`
     (tests + client-side tile math)."""

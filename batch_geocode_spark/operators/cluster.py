@@ -47,7 +47,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from batch_geocode_spark.functions.cells import np_cell_encode, np_cell_ring_batch
+from batch_geocode_spark.functions.cells import cell_encode, cell_ring_cells
 from batch_geocode_spark.functions.geo import haversine_km
 
 
@@ -73,32 +73,24 @@ def eps_site_pairs(sites: DataFrame, eps_km: float, res: int) -> DataFrame:
     if res < 2:
         raise ValueError("res must be >= 2 (ring cells collide below that)")
 
-    @F.pandas_udf("long")
-    def enc(lat, lng):
-        import pandas as pd
-
-        return pd.Series(np_cell_encode(lat.to_numpy(), lng.to_numpy(), res))
-
-    @F.pandas_udf("array<long>")
-    def enc_ring(lat, lng):
-        import pandas as pd
-
-        base = np_cell_encode(lat.to_numpy(), lng.to_numpy(), res)
-        return pd.Series(np_cell_ring_batch(base, res).tolist())
-
+    # encode + ring are pure Column exprs (r7: replaced two pandas_udfs
+    # — same integer math, no JVM->Python round trip, no ArrowEvalPython
+    # stage in the plan)
     b = sites.select(
         F.col("site_id").alias("b_id"),
         F.col("lat").alias("b_lat"),
         F.col("lng").alias("b_lng"),
         F.col("w").alias("b_w"),
-        enc(F.col("lat"), F.col("lng")).alias("cell"),
+        cell_encode(F.col("lat"), F.col("lng"), res).alias("cell"),
     )
     a = sites.select(
         F.col("site_id").alias("a_id"),
         F.col("lat").alias("a_lat"),
         F.col("lng").alias("a_lng"),
         F.col("w").alias("a_w"),
-        F.explode(enc_ring(F.col("lat"), F.col("lng"))).alias("cell"),
+        F.explode(
+            cell_ring_cells(cell_encode(F.col("lat"), F.col("lng"), res), res)
+        ).alias("cell"),
     ).filter(F.col("cell") >= 0)
     return (
         a.join(b, "cell", "inner")

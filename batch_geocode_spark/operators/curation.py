@@ -93,12 +93,17 @@ def curate_documents(
         # checkpointing each stage's id-width decision table makes its
         # expensive subtree compute exactly once — the next note()
         # count is the materializing action. Without metrics there is
-        # a single terminal action, so the plan stays pure lineage.
+        # a single terminal action, so the plan stays pure lineage
+        # (r7 A/B: checkpointing here too replaced the estimable agg
+        # subtrees with unknown-size leaves, planning the corpus
+        # semi/anti joins as SMJ + extra stage barriers — measurably
+        # slower than the lineage plan at every load level).
         return df.localCheckpoint(eager=False) if with_metrics else df
 
     note("input", docs)
     eval_docs = docs.filter(F.col("doc_id") % eval_mod == 0)
-    corpus = docs.filter(F.col("doc_id") % eval_mod != 0)
+    corpus0 = docs.filter(F.col("doc_id") % eval_mod != 0)
+    corpus = corpus0
     note("corpus_after_eval_split", corpus)
 
     # 1. exact dedup: keep the min doc_id of every identical-text group
@@ -133,9 +138,17 @@ def curate_documents(
     corpus = corpus.join(drop_near, "doc_id", "left_anti")
     note("after_near_dedup", corpus)
 
-    # 3. n-gram decontamination vs the eval split (broadcast eval side)
+    # 3. n-gram decontamination vs the eval split (broadcast eval side).
+    # Flags are computed over the PRE-DEDUP corpus split, not the
+    # deduped `corpus`: leak-flagging is a per-doc predicate (does THIS
+    # doc share an n-gram with eval), so flags(corpus0) ∩ corpus ==
+    # flags(corpus) and the left_anti result is identical — while the
+    # flag branch no longer embeds the exact+near-dedup join prefix a
+    # second time in the plan (r7, guide §2.4: the duplicated subtree
+    # cost a repeated md5-dedup aggregate + joins per action; oracle
+    # c01 likewise derives `leaks` from the full document set).
     leaks = pin(
-        D.decontamination_flags(corpus, eval_docs, n=decon_ngram).select("doc_id")
+        D.decontamination_flags(corpus0, eval_docs, n=decon_ngram).select("doc_id")
     )
     corpus = corpus.join(leaks, "doc_id", "left_anti")
     note("after_ngram_decontamination", corpus)

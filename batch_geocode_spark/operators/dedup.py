@@ -459,6 +459,17 @@ def minhash_lsh_pairs(
     bsigs = _banded_keys_from_grouped(grouped, num_perm=num_perm, bands=bands, seed=seed)
     band_key = F.md5("sig_csv") if base_hash == "md5_60" else F.xxhash64("sig_csv")
     banded = bsigs.select("doc_id", "band", band_key.alias("band_key"))
+    if eager:
+        # the band self-join references this table TWICE (both join
+        # sides project different columns, so their exchanges are not
+        # reused) and the hot-bucket cap a third time — without a
+        # checkpoint the signature mapInPandas kernel and its whole
+        # upstream run once per reference (guide §2.4/§5: materialize a
+        # small reused intermediate instead of recomputing it). Lazy:
+        # the terminal localCheckpoint below is the materializing
+        # action. bands×docs rows of (id, band, 8-byte key) — tiny
+        # relative to the corpus at any scale.
+        banded = banded.localCheckpoint(eager=False)
     cand = _banded_candidates(banded, max_band_df)
     # exact verify per candidate pair via array_intersect on the two
     # docs' hash sets — O(candidates), not an inverted-index self-join

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from batch_geocode_spark.functions.cells import np_cell_encode, np_cell_ring_batch
+from batch_geocode_spark.functions.cells import cell_encode, cell_ring_cells
 from batch_geocode_spark.functions.geo import haversine_km
 
 
@@ -89,35 +89,25 @@ def knn_spatial(
     Exact for neighbors within one cell ring (~cell width); choose
     ``res`` so the expected kth-neighbor distance fits the ring.
     """
-    cell_schema = "long"
-
-    @F.pandas_udf(cell_schema)
-    def enc(lat, lng):
-        import pandas as pd
-
-        return pd.Series(np_cell_encode(lat.to_numpy(), lng.to_numpy(), res))
-
-    @F.pandas_udf("array<long>")
-    def enc_ring(lat, lng):
-        import pandas as pd
-
-        # fully vectorized: encode the batch, then the (n, 9) ring matrix
-        # via shifted (x, y) copies — no per-row Python. Invalid entries
-        # (lat clamp) are -1 and filtered after the explode below.
-        base = np_cell_encode(lat.to_numpy(), lng.to_numpy(), res)
-        return pd.Series(np_cell_ring_batch(base, res).tolist())
-
+    if res < 2:
+        raise ValueError("res must be >= 2 (ring cells collide below that)")
     pts = points.select(
         F.col(p_id).alias("nbr_id"),
         F.col(p_lat).alias("nbr_lat"),
         F.col(p_lng).alias("nbr_lng"),
-        enc(F.col(p_lat), F.col(p_lng)).alias("cell"),
+        cell_encode(F.col(p_lat), F.col(p_lng), res).alias("cell"),
     )
+    # encode + ring are pure Column exprs (r7: replaced two pandas_udfs
+    # — same integer math, no JVM->Python round trip, no ArrowEvalPython
+    # stage in the plan); invalid ring entries (lat clamp) are -1 and
+    # filtered after the explode
     qry = queries.select(
         F.col(q_id).alias("query_id"),
         F.col(q_lat).alias("query_lat"),
         F.col(q_lng).alias("query_lng"),
-        F.explode(enc_ring(F.col(q_lat), F.col(q_lng))).alias("cell"),
+        F.explode(
+            cell_ring_cells(cell_encode(F.col(q_lat), F.col(q_lng), res), res)
+        ).alias("cell"),
     ).filter(F.col("cell") >= 0)
     joined = qry.join(pts, "cell", "inner").withColumn(
         "dist_km",

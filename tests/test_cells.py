@@ -157,3 +157,31 @@ def test_quadkey_roundtrip_and_prefix(spark):
             f"SELECT {quadkey_sql(str(r.cell), res)}"
         ).fetchone()[0]
         assert got == r.qk
+
+
+def test_cell_ring_cells_column_matches_numpy(spark):
+    """cell_ring_cells (r7: Column-expr ring on the kNN/DBSCAN candidate
+    paths) must be element-identical to np_cell_ring_batch — same order,
+    same -1 sentinels at the lat clamp, same lng wrap."""
+    rng = np.random.default_rng(11)
+    lats = np.concatenate([rng.uniform(-90, 90, 40), [-89.99, 89.99, 0.0]])
+    lngs = np.concatenate([rng.uniform(-180, 180, 40), [-179.99, 179.99, 0.0]])
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(lats, lngs)], "lat double, lng double"
+    )
+    for res in (2, 3, 7, 12):
+        base = cells.np_cell_encode(lats, lngs, res)
+        want = cells.np_cell_ring_batch(base, res).tolist()
+        got = df.select(
+            cells.cell_ring_cells(
+                cells.cell_encode(F.col("lat"), F.col("lng"), res), res
+            ).alias("ring")
+        ).collect()
+        assert [r["ring"] for r in got] == want
+
+
+def test_cell_ring_cells_rejects_degenerate_res():
+    import pytest
+
+    with pytest.raises(ValueError):
+        cells.cell_ring_cells(F.lit(0), 1)
