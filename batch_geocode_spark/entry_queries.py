@@ -628,8 +628,13 @@ def e03_ann_topk(spark, sf_dir):
     _views(spark, sf_dir)
     emb = spark.table("embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    ann = S.ann_lsh_topk(queries, emb, dim=64, k=5, n_tables=8, bits=8)
-    cand = S.lsh_candidates(queries, emb, dim=64, n_tables=8, bits=8)
+    # one candidate table feeds both the ANN rescore and the soundness
+    # check (r7: previously each derived its own signature tables);
+    # lazily checkpointed so it computes once across both consumers
+    cand = S.lsh_candidates(queries, emb, dim=64, n_tables=8, bits=8).localCheckpoint(
+        eager=False
+    )
+    ann = S.ann_lsh_topk(queries, emb, dim=64, k=5, n_tables=8, bits=8, candidates=cand)
     return S.ann_verification_summary(
         ann, queries, emb, k=5, min_recall=ANN_MIN_RECALL_LSH, candidates=cand
     )
@@ -720,21 +725,27 @@ def t04_token_counts(spark, sf_dir):
 
 
 def e01_cosine_topk(spark, sf_dir):
-    """Brute-force cosine top-k similarity search vs query vector 0."""
+    """Brute-force cosine top-k similarity search vs query vector 0.
+
+    The query vector rides a broadcast one-row cross join instead of a
+    driver head() collect (r7: one Spark job instead of two; the dot
+    product, norms and rounding accumulate in the identical order, so
+    every double is bit-equal to the collect formulation — oracle-hash
+    checked)."""
     _views(spark, sf_dir)
     emb = spark.table("embeddings")
-    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").head()
-    qvec = [float(x) for x in qrow["embedding"]]
-    q = F.array(*[F.lit(x) for x in qvec])
-    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    to_d = lambda c: F.transform(c, lambda x: x.cast("double"))  # noqa: E731
+    q = emb.filter(F.col("vec_id") == 0).select(to_d(F.col("embedding")).alias("qv"))
+    e = to_d(F.col("embedding"))
     dot = F.aggregate(
-        F.zip_with(e, q, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+        F.zip_with(e, F.col("qv"), lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
     )
     nrm = F.sqrt(F.aggregate(e, F.lit(0.0), lambda acc, x: acc + x * x))
-    qn = float(sum(x * x for x in qvec)) ** 0.5
-    sim = dot / (nrm * F.lit(qn))
+    qn = F.sqrt(F.aggregate(F.col("qv"), F.lit(0.0), lambda acc, x: acc + x * x))
+    sim = dot / (nrm * qn)
     ranked = (
         emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
         .select("vec_id", "label", F.round(sim, 4).alias("cos_sim"))
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(20)

@@ -276,7 +276,15 @@ def _grouped_shingle_hashes(
     """(doc_id, xs: array<long>): each doc's DISTINCT shingle hashes in
     one row. collect_set both dedups (so the explode side needs no
     .distinct() shuffle of wide strings) and partial-aggregates map-side
-    — the only shuffle carries 8-byte hashes, not shingle text."""
+    — the only shuffle carries 8-byte hashes, not shingle text.
+
+    xs carries the FULL 60/64-bit hash: the mod-p reduction the affine
+    permutations need happens inside the signature kernel
+    (``_batch_signature_matrices``), so the exact-verify intersections
+    run on the unreduced hash space (ADVICE r6: reducing here put
+    within-doc collisions at ~|set|²/2³² and the d05 oracle verifies
+    over raw shingle strings; at 2⁶⁰/2⁶⁴ a within-pair collision is
+    ~|union|²/2⁶⁰ ≈ 1e-12)."""
     from batch_geocode_spark.functions.hashing import hash60
 
     if base_hash == "xxhash64":
@@ -285,7 +293,7 @@ def _grouped_shingle_hashes(
         h = hash60(F.col("shingle"))
     else:
         raise ValueError(f"unknown base_hash {base_hash!r}")
-    base = sh.select("doc_id", F.pmod(h, F.lit(MERSENNE_P31)).alias("x"))
+    base = sh.select("doc_id", h.alias("x"))
     return base.groupBy("doc_id").agg(F.collect_set("x").alias("xs"))
 
 
@@ -297,7 +305,11 @@ def _batch_signature_matrices(
     shingle hashes into one vector, then per permutation one affine map
     over the whole batch + segmented min via reduceat — no Python-level
     per-doc loop. Values identical to the per-row (num_perm ×
-    n_shingles) matrix formulation."""
+    n_shingles) matrix formulation. xs arrives UNREDUCED (full 60/64-bit
+    hashes, see ``_grouped_shingle_hashes``); the mod-p fold to the
+    <2³¹ operand range the affine products need happens here (numpy %
+    matches Spark pmod: non-negative for negative int64 inputs), so
+    signatures are identical to the previous reduce-at-source values."""
     a, b = _perm_params(num_perm, seed)
     a_arr = np.asarray(a, dtype=np.int64)
     b_arr = np.asarray(b, dtype=np.int64)
@@ -306,7 +318,7 @@ def _batch_signature_matrices(
             continue
         xs_list = [np.asarray(x, dtype=np.int64) for x in pdf["xs"]]
         lens = np.fromiter((len(x) for x in xs_list), dtype=np.int64, count=len(xs_list))
-        flat = np.concatenate(xs_list)
+        flat = np.concatenate(xs_list) % MERSENNE_P31
         offsets = np.zeros(len(lens), dtype=np.int64)
         np.cumsum(lens[:-1], out=offsets[1:])
         n_docs = len(lens)
@@ -395,12 +407,13 @@ def minhash_lsh_pairs(
     map-side partial aggregation, instead of the three shuffles of the
     naive shape (explode+distinct of wide strings, collect_list for
     signatures, collect_set of strings for verify). The verify Jaccard
-    is computed over the SAME base-hash sets the signatures use: with
-    60/64-bit hashes a within-pair collision (the only kind that could
+    is computed over the UNREDUCED 60/64-bit base-hash sets (the mod-p
+    fold the permutations need happens inside the signature kernel,
+    ADVICE r6): a within-pair collision (the only kind that could
     perturb a Jaccard value) has probability ~|union|²/2⁶⁰ ≈ 1e-12 per
-    pair, and on the md5_60 oracle path DuckDB hashes shingles with the
-    identical function, so even a collision would reproduce identically
-    cross-engine. With ``cache_shingles`` (default auto: on exactly
+    pair — and would surface as a d05 oracle mismatch, since the DuckDB
+    oracle verifies over the raw shingle strings.
+    With ``cache_shingles`` (default auto: on exactly
     when ``eager``) the grouped table is persisted (memory+disk,
     spill-safe) so it computes once, the verified pairs are
     materialized EAGERLY at call time (localCheckpoint — they are tiny

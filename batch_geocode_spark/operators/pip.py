@@ -126,7 +126,32 @@ def pip_join(
     plain numpy arrays — the candidate rows carry only (point, admin_id)
     and never duplicate ring structs through Arrow.
     """
-    cover = polygon_cell_cover(polygons, res)
+    spark = points.sparkSession
+    # ONE driver collect feeds cover, attributes AND rings (r7: this was
+    # two separate polygon-side jobs — a bbox toPandas in
+    # polygon_cell_cover plus a rings collect); the polygon side is
+    # driver-sized by contract, so all three derivations are local.
+    poly_rows = polygons.select(
+        "admin_id", "iso2", "admin_level", "name", "bb_w", "bb_s", "bb_e", "bb_n", "rings"
+    ).collect()
+    ids, cells_out = [], []
+    for row in poly_rows:
+        cc = np_polyfill_bbox(row["bb_w"], row["bb_s"], row["bb_e"], row["bb_n"], res)
+        ids.append(np.full(len(cc), row["admin_id"], dtype=np.int64))
+        cells_out.append(cc)
+    cover = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "admin_id": np.concatenate(ids) if ids else np.asarray([], dtype=np.int64),
+                "cell": np.concatenate(cells_out) if ids else np.asarray([], dtype=np.int64),
+            }
+        ),
+        schema="admin_id long, cell long",
+    )
+    attrs = spark.createDataFrame(
+        [(row["admin_id"], row["iso2"], row["admin_level"], row["name"]) for row in poly_rows],
+        schema="admin_id long, iso2 string, admin_level int, name string",
+    )
     pts = points.select(
         F.col(id_col).alias("pt_id"),
         F.col(lat_col).alias("pt_lat"),
@@ -134,16 +159,14 @@ def pip_join(
         cell_encode(F.col(lat_col), F.col(lng_col), res).alias("cell"),
     )
     cand = pts.join(F.broadcast(cover), "cell", "inner").join(
-        F.broadcast(polygons.select("admin_id", "iso2", "admin_level", "name")),
-        "admin_id",
-        "inner",
+        F.broadcast(attrs), "admin_id", "inner"
     )
 
     # geometry → numpy edge arrays once, on the driver; shipped as an
     # executor broadcast variable (sent once per executor), not UDF
     # closure capture (once per task)
     rings_by_admin: dict[int, list[tuple[np.ndarray, np.ndarray]]] = {}
-    for row in polygons.select("admin_id", "rings").collect():
+    for row in poly_rows:
         rings_by_admin[int(row["admin_id"])] = [
             (
                 np.asarray([p["x"] for p in ring], dtype=np.float64),
@@ -151,7 +174,7 @@ def pip_join(
             )
             for ring in row["rings"]
         ]
-    bc_rings = points.sparkSession.sparkContext.broadcast(rings_by_admin)
+    bc_rings = spark.sparkContext.broadcast(rings_by_admin)
 
     out_schema = (
         "pt_id string, pt_lat double, pt_lng double, admin_id long, "

@@ -148,11 +148,20 @@ def ann_lsh_topk(
     n_tables: int = 6,
     bits: int = 10,
     seed: int = 42,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k: LSH-bucket candidate join, exact cosine on
     candidates, per-query top-k. Recall grows with n_tables / falls with
-    bits; tune per corpus density."""
-    cand = lsh_candidates(queries, corpus, dim, n_tables, bits, seed)
+    bits; tune per corpus density. ``candidates`` lets a caller that
+    already materialized the blocking pairs (e.g. to verify candidate
+    soundness alongside, the e03 shape) reuse them instead of this
+    function re-deriving both signature tables (r7: halves the
+    signature work in the verification query)."""
+    cand = (
+        candidates
+        if candidates is not None
+        else lsh_candidates(queries, corpus, dim, n_tables, bits, seed)
+    )
     q = queries.select(
         F.col("vec_id").alias("query_id"), _as_double(F.col("embedding")).alias("qv")
     ).withColumn("qn", _norm(F.col("qv")))
@@ -218,8 +227,18 @@ def ann_verification_summary(
 
     Verification cost: one brute-force pass over the corpus (broadcast
     query side) + joins against the tiny ANN output — this is a
-    verification query, not the serving path."""
-    ann = ann.select("query_id", "corpus_id", "cos_sim", "rank")
+    verification query, not the serving path. The exact top-k, the ANN
+    output, and the candidate pairs are each referenced by 2-4 of the
+    checks below, so the ANN output and the exact top-k are lazily
+    checkpointed here (r7, VERDICT r6 #4: the brute-force pass
+    previously recomputed once per referencing branch — e03's plan
+    carried 21 exchanges / 24 scans); both are rows≈queries×k tables,
+    trivially materializable at any scale. A caller sharing one
+    ``candidates`` table across the ANN and this summary should
+    checkpoint it itself (see e03)."""
+    ann = ann.select("query_id", "corpus_id", "cos_sim", "rank").localCheckpoint(
+        eager=False
+    )
     q = queries.select(
         F.col("vec_id").alias("query_id"), _as_double(F.col("embedding")).alias("qv")
     ).withColumn("qn", _norm(F.col("qv")))
@@ -238,7 +257,9 @@ def ann_verification_summary(
             (F.abs(F.col("cos_sim") - F.col("exact_cos")) <= tol).alias("cos_match"),
         )
     )
-    exact = brute_force_topk(queries, corpus, k=k, round_dp=None)
+    exact = brute_force_topk(queries, corpus, k=k, round_dp=None).localCheckpoint(
+        eager=False
+    )
     hits = exact.select(
         "query_id", "corpus_id", F.lit(True).alias("in_exact")
     )

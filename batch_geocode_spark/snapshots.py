@@ -289,14 +289,22 @@ class SnapshotTable:
                 skip = False
                 for col, (lo, hi) in prune.items():
                     rng = st.get(col)
-                    if (
-                        rng is not None
-                        and rng[0] is not None
-                        and rng[1] is not None
-                        and (rng[1] < lo or rng[0] > hi)
-                    ):
-                        skip = True
-                        break
+                    try:
+                        if (
+                            rng is not None
+                            and rng[0] is not None
+                            and rng[1] is not None
+                            and (rng[1] < lo or rng[0] > hi)
+                        ):
+                            skip = True
+                            break
+                    except TypeError:
+                        # committed stats and caller bounds of
+                        # incomparable types (e.g. string stats vs
+                        # numeric bounds): fall back to the documented
+                        # "no stats => never skipped" conservatism
+                        # instead of crashing the read (ADVICE r6)
+                        continue
                 if skip:
                     continue
             keys.append(str(k))

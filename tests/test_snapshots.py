@@ -409,3 +409,20 @@ def test_manifest_stats_bucket_skipping(spark, tmp_path_factory):
     after = t.current()
     assert not any(k.startswith("b1/") for k in after["column_stats"])
     assert any(k.startswith("b0/") for k in after["column_stats"])
+
+
+def test_stats_prune_type_mismatch_keeps_bucket(spark, tmp_path_factory):
+    """Incomparable stats/bound types (string stats vs numeric bounds,
+    or vice versa) must fall back to the 'never skipped' conservatism
+    instead of raising TypeError out of read() (ADVICE r6)."""
+    t = SnapshotTable(str(tmp_path_factory.mktemp("stats_mismatch")))
+    df = spark.createDataFrame(
+        [(f"k{j}", f"s{j}") for j in range(10)], "image_id string, tag string"
+    )
+    write_snapshotted(df, t, n_buckets=2, stats_cols=["tag"])
+    snap = t.current()
+    # string-typed committed stats, numeric caller bounds
+    assert t.live_bucket_keys(snap, prune={"tag": (100, 200)}) == \
+        t.live_bucket_keys(snap)
+    got = t.read(spark, prune={"tag": (100, 200)}).count()
+    assert got == 10
