@@ -27,16 +27,19 @@ def entry(spark: SparkSession) -> DataFrame:
 # recorded round lead the dict so every registered query accumulates a
 # driver-green CORRECTNESS row over consecutive rounds.
 _SAMPLE_FIRST = [
-    "c01_curation_pipeline",
-    "d09_decontamination",
-    "e04_ivf_topk",
-    "e05_embedding_dup_clusters",
-    "e06_semantic_decontamination",
-    "v01_vet_json_roundtrip",
-    "g19_cluster_hulls",  # new in round 6 — no driver row yet
-    "g20_hull_metrics",  # new in round 6 — no driver row yet
-    "g21_quadkey_density",  # new in round 6 — no driver row yet
-    "t07_unigram_logprob",  # new in round 6 — no driver row yet
+    # the 10 queries the round-6 driver sample skipped (VERDICT r6 #3);
+    # g18/d07/t05/t06 additionally sit on code paths the r7 optimization
+    # round touched (cluster/dedup/text), so fresh driver rows matter
+    "g14_tile_pyramid",
+    "g15_raster_roundtrip",
+    "g17_zonal_stats",
+    "g18_spatial_clusters",
+    "q14_cube",
+    "q15_moving_avg",
+    "d07_dedup_clusters",
+    "d08_stratified_sample",
+    "t05_bigram_stats",
+    "t06_repetition_scores",
 ]
 
 

@@ -156,7 +156,11 @@ def cluster_sites(
     from batch_geocode_spark.operators.dedup import connected_components
 
     if eager:
-        sites = sites.localCheckpoint()
+        # lazy: the nbr checkpoint below is the materializing action, so
+        # construction costs ONE job instead of two (r7) — the ring
+        # join's a/b branches and the final attach still read the
+        # one materialized copy of sites
+        sites = sites.localCheckpoint(eager=False)
     nbr = eps_site_pairs(sites, eps_km, res)
     if eager:
         nbr = nbr.localCheckpoint()
@@ -196,7 +200,7 @@ def cluster_sites(
     )
 
     assigned = core_assign.unionByName(border_assign)
-    return sites.join(assigned, "site_id", "inner").select(
+    out = sites.join(assigned, "site_id", "inner").select(
         "site_id",
         "lat",
         "lng",
@@ -204,6 +208,11 @@ def cluster_sites(
         F.col("component").alias("cluster"),
         "is_core",
     )
+    # cluster_summary references this table three times (distinct-lng
+    # gap search x2, the rollup itself); a lazy checkpoint on the eager
+    # path computes the assignment joins once at the first downstream
+    # action (r7) — site-scale rows, trivially materializable
+    return out.localCheckpoint(eager=False) if eager else out
 
 
 def hull_ring(points: list[tuple[float, float]]) -> list[tuple[float, float]]:

@@ -147,9 +147,7 @@ def curate_documents(
     # second time in the plan (r7, guide §2.4: the duplicated subtree
     # cost a repeated md5-dedup aggregate + joins per action; oracle
     # c01 likewise derives `leaks` from the full document set).
-    leaks = pin(
-        D.decontamination_flags(corpus0, eval_docs, n=decon_ngram).select("doc_id")
-    )
+    leaks = pin(D.decontamination_ids(corpus0, eval_docs, n=decon_ngram))
     corpus = corpus.join(leaks, "doc_id", "left_anti")
     note("after_ngram_decontamination", corpus)
 

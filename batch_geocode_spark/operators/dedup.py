@@ -190,6 +190,33 @@ def decontamination_flags(
     )
 
 
+def decontamination_ids(
+    corpus: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Just the contaminated doc ids — the curation-pipeline shape
+    (r7): when the caller only anti-joins the flagged set, the per-doc
+    countDistinct aggregation of ``decontamination_flags`` (which
+    shuffles every matched (doc, shingle, eval_doc) tuple) is wasted
+    work. A left-semi probe against the broadcast DISTINCT eval
+    shingle set followed by a distinct on doc_id flags the identical
+    doc set (a doc leaks iff it shares ANY n-gram) with one narrow
+    id-only shuffle."""
+    corpus_sh = corpus.select(
+        "doc_id", F.explode(shingle_array(n, text_col)).alias("shingle")
+    )
+    eval_sh = (
+        eval_docs.select(F.explode(shingle_array(n, text_col)).alias("shingle"))
+        .distinct()
+    )
+    if broadcast_eval:
+        eval_sh = F.broadcast(eval_sh)
+    return corpus_sh.join(eval_sh, "shingle", "left_semi").select("doc_id").distinct()
+
+
 # ------------------------------------------------------------ MinHash + LSH
 def _banded_candidates(banded: DataFrame, max_band_df: int | None) -> DataFrame:
     """Candidate pairs from a (doc_id, band, band_key) table.

@@ -339,6 +339,7 @@ def semantic_decontamination(
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    vectorized: bool = True,
 ) -> DataFrame:
     """Embedding-space test-set decontamination — the semantic sibling
     of ``dedup.decontamination_flags``: flag corpus vectors whose cosine
@@ -348,29 +349,101 @@ def semantic_decontamination(
     (corpus_id, n_eval_hits, max_sim).
 
     Scale shape: the eval set is tiny relative to a 100 TB corpus, so
-    it is the BROADCAST side; the corpus streams through the broadcast
-    nested-loop scoring with JVM-side dot products (zip_with/aggregate,
-    no Python) and aggregates per corpus id after the threshold filter
-    cuts the row count — the corpus never shuffles at full width. For
-    very large eval sets, pre-block with ``hyperplane_signatures`` the
-    way ``ann_lsh_topk`` does."""
-    c = corpus.select(
-        F.col(id_col).alias("corpus_id"), _as_double(F.col(vec_col)).alias("cv")
-    ).withColumn("cn", _norm(F.col("cv")))
-    e = eval_vecs.select(
-        F.col(id_col).alias("eval_id"), _as_double(F.col(vec_col)).alias("ev")
-    ).withColumn("en", _norm(F.col("ev")))
-    joined = c.crossJoin(F.broadcast(e)).withColumn(
-        "cos_sim", _dot(F.col("cv"), F.col("ev")) / (F.col("cn") * F.col("en"))
-    )
-    return (
-        joined.filter(F.col("cos_sim") >= F.lit(threshold))
-        .groupBy("corpus_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_eval_hits"),
-            F.round(F.max("cos_sim"), 6).alias("max_sim"),
+    it is the SMALL side (executor broadcast variable on the default
+    path, broadcast join on the fallback); the corpus streams through
+    one Arrow map and never shuffles at all — the per-corpus-row
+    aggregation happens inside the kernel. For very large eval sets,
+    pre-block with ``hyperplane_signatures`` the way ``ann_lsh_topk``
+    does.
+
+    ``vectorized=True`` (default, r7): the zip_with/aggregate dot
+    products of the fallback path are higher-order functions that run
+    INTERPRETED per element (~|corpus|·|eval|·dim interpreted evals —
+    measured seconds at 490k pairs); the kernel instead accumulates
+    per DIMENSION, vectorized across all (corpus, eval) pairs of a
+    batch. Because each pair's accumulation visits dimensions in the
+    identical left-to-right order (and norms/quotients multiply in the
+    identical order), every produced double is BIT-EQUAL to the JVM
+    formulation — pinned by a test and by the e06/c01 oracle hashes.
+    ``vectorized=False`` keeps the pure-JVM broadcast-join path (no
+    driver collect of the eval side at plan-build time)."""
+    if not vectorized:
+        c = corpus.select(
+            F.col(id_col).alias("corpus_id"), _as_double(F.col(vec_col)).alias("cv")
+        ).withColumn("cn", _norm(F.col("cv")))
+        e = eval_vecs.select(
+            F.col(id_col).alias("eval_id"), _as_double(F.col(vec_col)).alias("ev")
+        ).withColumn("en", _norm(F.col("ev")))
+        joined = c.crossJoin(F.broadcast(e)).withColumn(
+            "cos_sim", _dot(F.col("cv"), F.col("ev")) / (F.col("cn") * F.col("en"))
         )
+        return (
+            joined.filter(F.col("cos_sim") >= F.lit(threshold))
+            .groupBy("corpus_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_eval_hits"),
+                F.round(F.max("cos_sim"), 6).alias("max_sim"),
+            )
+        )
+
+    rows = eval_vecs.select(id_col, vec_col).collect()
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    if rows:
+        emat = np.stack(
+            [np.asarray(r[vec_col], dtype=np.float64) for r in rows]
+        )  # (m, dim)
+        en = _seq_norms(emat)
+        bc = corpus.sparkSession.sparkContext.broadcast((emat, en))
+
+        def score(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            e_mat, e_n = bc.value
+            m, dim = e_mat.shape
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                cmat = np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+                )
+                # per-dim accumulation: each (i, j) pair's adds happen in
+                # dimension order — the exact zip_with/aggregate sequence
+                acc = np.zeros((len(pdf), m), dtype=np.float64)
+                for d in range(dim):
+                    acc += cmat[:, d : d + 1] * e_mat[None, :, d]
+                cos = acc / (_seq_norms(cmat)[:, None] * e_n[None, :])
+                hits = cos >= threshold
+                n_hits = hits.sum(axis=1)
+                keep = n_hits > 0
+                if not keep.any():
+                    continue
+                masked = np.where(hits, cos, -np.inf)
+                yield pd.DataFrame(
+                    {
+                        "corpus_id": pdf[id_col].to_numpy()[keep],
+                        "n_eval_hits": n_hits[keep].astype(np.int64),
+                        "raw_max": masked.max(axis=1)[keep],
+                    }
+                )
+
+        out = corpus.select(id_col, vec_col).mapInPandas(
+            score, schema=f"corpus_id {id_type}, n_eval_hits long, raw_max double"
+        )
+    else:  # empty eval set: nothing can be contaminated
+        out = corpus.sparkSession.createDataFrame(
+            [], schema=f"corpus_id {id_type}, n_eval_hits long, raw_max double"
+        )
+    # Spark-side round: HALF_UP semantics identical to the JVM path
+    return out.select(
+        "corpus_id", "n_eval_hits", F.round("raw_max", 6).alias("max_sim")
     )
+
+
+def _seq_norms(mat: np.ndarray) -> np.ndarray:
+    """Row norms with strictly sequential per-dimension accumulation —
+    bit-equal to F.sqrt(F.aggregate(v, 0.0, (s, x) -> s + x*x))."""
+    acc = np.zeros(len(mat), dtype=np.float64)
+    for d in range(mat.shape[1]):
+        acc += mat[:, d] * mat[:, d]
+    return np.sqrt(acc)
 
 
 def cosine_near_dup_pairs(

@@ -432,7 +432,38 @@ def test_semantic_decontamination(spark):
     assert set(got.index) == {1}
     assert got.loc[1, "n_eval_hits"] == 1
     assert got.loc[1, "max_sim"] > 0.99
-    assert "broadcast" in df._jdf.queryExecution().optimizedPlan().toString().lower()
+    # the JVM fallback path must keep the eval side broadcast
+    jvm = S.semantic_decontamination(corpus, eval_vecs, threshold=0.9, vectorized=False)
+    assert "broadcast" in jvm._jdf.queryExecution().optimizedPlan().toString().lower()
+
+
+def test_semantic_decontamination_vectorized_bitwise_matches_jvm(spark):
+    """r7: the vectorized kernel accumulates per dimension, so every
+    double (max_sim pre-round included) must be BIT-EQUAL to the
+    zip_with/aggregate JVM formulation — compare unrounded outputs on
+    random data with a threshold low enough to emit many rows."""
+    import numpy as np
+
+    rng = np.random.default_rng(17)
+    mk = lambda n, off: [  # noqa: E731
+        (off + i, [float(x) for x in rng.standard_normal(24).astype(np.float32)])
+        for i in range(n)
+    ]
+    corpus = spark.createDataFrame(mk(60, 0), "vec_id long, embedding array<float>")
+    ev = spark.createDataFrame(mk(9, 1000), "vec_id long, embedding array<float>")
+    a = (
+        S.semantic_decontamination(corpus, ev, threshold=0.05)
+        .toPandas().sort_values("corpus_id").reset_index(drop=True)
+    )
+    b = (
+        S.semantic_decontamination(corpus, ev, threshold=0.05, vectorized=False)
+        .toPandas().sort_values("corpus_id").reset_index(drop=True)
+    )
+    assert len(a) > 10
+    assert a["corpus_id"].tolist() == b["corpus_id"].tolist()
+    assert a["n_eval_hits"].tolist() == b["n_eval_hits"].tolist()
+    # bitwise double equality, not approx
+    assert [x.hex() for x in a["max_sim"]] == [x.hex() for x in b["max_sim"]]
 
 
 # ------------------------------------------------- hot-band caps (VERDICT r4)
