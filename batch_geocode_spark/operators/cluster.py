@@ -303,39 +303,41 @@ def cluster_summary(assigned: DataFrame) -> DataFrame:
     are gazetteer-scale, so the window is tiny; the only full-site
     shuffles are keyed by ``cluster``, same as the rollup itself.
     """
-    from pyspark.sql import Window
-
-    lngs = assigned.select("cluster", "lng").distinct()
-    w_lng = Window.partitionBy("cluster").orderBy("lng")
-    internal = (
-        lngs.withColumn("prev", F.lag("lng").over(w_lng))
-        .filter(F.col("prev").isNotNull())
-        .select(
-            "cluster",
-            F.col("lng").alias("origin"),
-            (
-                F.col("lng").cast("decimal(14,8)")
-                - F.col("prev").cast("decimal(14,8)")
-            ).alias("gap"),
-        )
+    # One collect_set aggregate replaces the previous three-branch shape
+    # (distinct → lag-window for internal gaps ∪ min/max agg for the
+    # wrap gap → row_number pick): per cluster the DISTINCT sorted
+    # longitudes are array-scale (sites are gazetteer-scale by this
+    # operator's design), so the gap search runs as array expressions —
+    # r7, removes ~3 exchanges + 2 windows from the summary plan.
+    # Selection semantics identical: candidates = consecutive internal
+    # gaps (origin = the eastern edge) plus the wrap gap (origin = min
+    # lng), winner by (gap DESC, origin ASC) via array_max over
+    # (gap, -origin, origin) structs; decimal(14,8) arithmetic as
+    # before, so the exact-compare invariant is unchanged.
+    arr = assigned.groupBy("cluster").agg(
+        F.sort_array(F.collect_set("lng")).alias("ls")
     )
-    wrap = lngs.groupBy("cluster").agg(
-        F.min("lng").alias("origin"),
-        (
-            F.min("lng").cast("decimal(14,8)")
-            - F.max("lng").cast("decimal(14,8)")
-            + F.lit(360)
-        ).alias("gap"),
+    ls = F.col("ls")
+    n_ls = F.size(ls)
+    dec = lambda c: c.cast("decimal(14,8)")  # noqa: E731
+    idx = F.when(n_ls >= 2, F.sequence(F.lit(2), n_ls)).otherwise(
+        F.array().cast("array<int>")
     )
-    w_pick = Window.partitionBy("cluster").orderBy(
-        F.col("gap").desc(), F.col("origin").asc()
+    internal = F.transform(
+        idx,
+        lambda i: F.struct(
+            (dec(F.element_at(ls, i)) - dec(F.element_at(ls, i - F.lit(1).cast("int")))).alias("gap"),
+            (-dec(F.element_at(ls, i))).alias("neg_origin"),
+            F.element_at(ls, i).alias("origin"),
+        ),
     )
-    origins = (
-        internal.unionByName(wrap)
-        .withColumn("rn", F.row_number().over(w_pick))
-        .filter(F.col("rn") == 1)
-        .select("cluster", "origin")
+    wrap = F.struct(
+        (dec(F.element_at(ls, 1)) - dec(F.element_at(ls, -1)) + F.lit(360)).alias("gap"),
+        (-dec(F.element_at(ls, 1))).alias("neg_origin"),
+        F.element_at(ls, 1).alias("origin"),
     )
+    best = F.array_max(F.concat(internal, F.array(wrap)))
+    origins = arr.select("cluster", best["origin"].alias("origin"))
 
     def dec_wsum(col: F.Column) -> F.Column:
         return F.sum(col * F.col("w").cast("decimal(20,0)")).cast("double")

@@ -618,10 +618,10 @@ def connected_components(
     per component). Component label = min node id, so results are
     deterministic and engine-independent.
 
-    Graphs with at most ``local_max_edges`` edges (known exactly from
-    the fixed-point probe's first read) are solved with driver-local
-    union-find instead — see the inline note; pass ``local_max_edges=0``
-    to force the distributed path.
+    Graphs with at most ``local_max_edges`` edges are solved with
+    driver-local union-find instead — the size probe IS the collect
+    (``limit(cap+1).toPandas()``), see the inline note; pass
+    ``local_max_edges=0`` to force the distributed path.
 
     Algorithm: alternating large-star / small-star (Kiveris et al.,
     "Connected Components in MapReduce and Beyond", SoCC'14) — each
@@ -651,22 +651,32 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=False)
     )
+    if local_max_edges > 0:
+        # adaptive physical strategy, same philosophy as AQE's runtime
+        # broadcast conversion: LSH dup graphs are tiny relative to
+        # their corpus (edges ~ dup pairs, not docs). The size probe IS
+        # the collect (r7): limit(cap+1) either returns the whole edge
+        # set (≤ cap ⇒ union-find it, one driver round-trip instead of
+        # the previous signature-count + toPandas pair) or proves the
+        # graph exceeds the cap and the distributed path takes over.
+        # Driver memory is bounded by the cap (~16 B/edge) either way;
+        # the alternating-star path below is untouched for big graphs.
+        head = edges.limit(local_max_edges + 1).toPandas()
+        if len(head) == 0:
+            return edges.select(
+                F.col("a").alias("node"), F.col("b").alias("component")
+            )
+        if len(head) <= local_max_edges:
+            out = _union_find_components(head)
+            return edges.sparkSession.createDataFrame(
+                out,
+                schema="node {t}, component {t}".format(
+                    t=edges.schema["a"].dataType.simpleString()
+                ),
+            )
     sig = _edge_signature(edges)
     if sig[0] == 0:
         return edges.select(F.col("a").alias("node"), F.col("b").alias("component"))
-    if sig[0] <= local_max_edges:
-        # adaptive physical strategy, same philosophy as AQE's runtime
-        # broadcast conversion: the probe already paid for an exact edge
-        # count, and LSH dup graphs are tiny relative to their corpus
-        # (edges ~ dup pairs, not docs). Under the cap, union-find on
-        # the driver replaces O(log n) distributed rounds of 4 shuffles
-        # each — driver memory is bounded by the cap (~16 B/edge), and
-        # the distributed alternating-star path below is untouched for
-        # graphs that exceed it.
-        out = _union_find_components(edges.toPandas())
-        return edges.sparkSession.createDataFrame(
-            out, schema="node {t}, component {t}".format(t=edges.schema["a"].dataType.simpleString())
-        )
     converged = False
     for _ in range(max_iter):
         edges = _small_star(_large_star(edges)).localCheckpoint(eager=False)
