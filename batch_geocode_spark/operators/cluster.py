@@ -156,14 +156,17 @@ def cluster_sites(
     from batch_geocode_spark.operators.dedup import connected_components
 
     if eager:
-        # lazy: the nbr checkpoint below is the materializing action, so
-        # construction costs ONE job instead of two (r7) — the ring
-        # join's a/b branches and the final attach still read the
-        # one materialized copy of sites
+        # lazy checkpoints (r7): construction no longer runs any job —
+        # the FIRST downstream action (the connected-components size
+        # probe) materializes sites and nbr once, and every later
+        # branch (ring-join a/b sides, eps-mass, core edges, border
+        # attach, final attach) reads the cached copies. Previously the
+        # two eager checkpoints cost two synchronous job barriers
+        # before the CC probe added a third.
         sites = sites.localCheckpoint(eager=False)
     nbr = eps_site_pairs(sites, eps_km, res)
     if eager:
-        nbr = nbr.localCheckpoint()
+        nbr = nbr.localCheckpoint(eager=False)
 
     mass = nbr.groupBy("a_id").agg(F.sum("b_w").alias("eps_mass"))
     cores = mass.filter(F.col("eps_mass") >= min_pts).select(
