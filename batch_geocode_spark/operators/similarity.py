@@ -398,31 +398,38 @@ def semantic_decontamination(
         def score(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             e_mat, e_n = bc.value
             m, dim = e_mat.shape
+            # bound the (rows × eval) accumulator regardless of Arrow
+            # batch size and eval-set growth (same memory-budget pattern
+            # as pip._points_in_edge_arrays): peak ≈ budget × 3 float64
+            chunk = max(_SEM_PAIR_BUDGET // m, 1)
             for pdf in it:
-                if not len(pdf):
-                    continue
-                cmat = np.stack(
-                    [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
-                )
-                # per-dim accumulation: each (i, j) pair's adds happen in
-                # dimension order — the exact zip_with/aggregate sequence
-                acc = np.zeros((len(pdf), m), dtype=np.float64)
-                for d in range(dim):
-                    acc += cmat[:, d : d + 1] * e_mat[None, :, d]
-                cos = acc / (_seq_norms(cmat)[:, None] * e_n[None, :])
-                hits = cos >= threshold
-                n_hits = hits.sum(axis=1)
-                keep = n_hits > 0
-                if not keep.any():
-                    continue
-                masked = np.where(hits, cos, -np.inf)
-                yield pd.DataFrame(
-                    {
-                        "corpus_id": pdf[id_col].to_numpy()[keep],
-                        "n_eval_hits": n_hits[keep].astype(np.int64),
-                        "raw_max": masked.max(axis=1)[keep],
-                    }
-                )
+                for s in range(0, len(pdf), chunk):
+                    sub = pdf.iloc[s : s + chunk]
+                    if not len(sub):
+                        continue
+                    cmat = np.stack(
+                        [np.asarray(v, dtype=np.float64) for v in sub[vec_col]]
+                    )
+                    # per-dim accumulation: each (i, j) pair's adds happen
+                    # in dimension order — the exact zip_with/aggregate
+                    # sequence
+                    acc = np.zeros((len(sub), m), dtype=np.float64)
+                    for d in range(dim):
+                        acc += cmat[:, d : d + 1] * e_mat[None, :, d]
+                    cos = acc / (_seq_norms(cmat)[:, None] * e_n[None, :])
+                    hits = cos >= threshold
+                    n_hits = hits.sum(axis=1)
+                    keep = n_hits > 0
+                    if not keep.any():
+                        continue
+                    masked = np.where(hits, cos, -np.inf)
+                    yield pd.DataFrame(
+                        {
+                            "corpus_id": sub[id_col].to_numpy()[keep],
+                            "n_eval_hits": n_hits[keep].astype(np.int64),
+                            "raw_max": masked.max(axis=1)[keep],
+                        }
+                    )
 
         out = corpus.select(id_col, vec_col).mapInPandas(
             score, schema=f"corpus_id {id_type}, n_eval_hits long, raw_max double"
@@ -435,6 +442,9 @@ def semantic_decontamination(
     return out.select(
         "corpus_id", "n_eval_hits", F.round("raw_max", 6).alias("max_sim")
     )
+
+
+_SEM_PAIR_BUDGET = 4_000_000  # max corpus-rows × eval-vecs elements per chunk
 
 
 def _seq_norms(mat: np.ndarray) -> np.ndarray:
