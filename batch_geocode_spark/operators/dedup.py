@@ -618,10 +618,11 @@ def connected_components(
     per component). Component label = min node id, so results are
     deterministic and engine-independent.
 
-    Graphs with at most ``local_max_edges`` edges are solved with
-    driver-local union-find instead — the size probe IS the collect
-    (``limit(cap+1).toPandas()``), see the inline note; pass
-    ``local_max_edges=0`` to force the distributed path.
+    Graphs whose raw canonical pair list holds at most
+    ``local_max_edges`` rows are solved with driver-local union-find
+    instead — the size probe IS the collect
+    (``limit(cap+1).toPandas()``, duplicate-tolerant), see the inline
+    note; pass ``local_max_edges=0`` to force the distributed path.
 
     Algorithm: alternating large-star / small-star (Kiveris et al.,
     "Connected Components in MapReduce and Beyond", SoCC'14) — each
@@ -642,38 +643,40 @@ def connected_components(
     # each round costs ONE driver round-trip, not two (checkpoint count
     # + probe). Lineage still truncates at the first action on the
     # checkpointed frame, which is always the probe immediately below.
-    edges = (
-        pairs.select(
-            F.greatest(F.col(id_a), F.col(id_b)).alias("a"),
-            F.least(F.col(id_a), F.col(id_b)).alias("b"),
-        )
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
+    raw = pairs.select(
+        F.greatest(F.col(id_a), F.col(id_b)).alias("a"),
+        F.least(F.col(id_a), F.col(id_b)).alias("b"),
+    ).filter(F.col("a") != F.col("b"))
     if local_max_edges > 0:
         # adaptive physical strategy, same philosophy as AQE's runtime
         # broadcast conversion: LSH dup graphs are tiny relative to
         # their corpus (edges ~ dup pairs, not docs). The size probe IS
-        # the collect (r7): limit(cap+1) either returns the whole edge
-        # set (≤ cap ⇒ union-find it, one driver round-trip instead of
-        # the previous signature-count + toPandas pair) or proves the
-        # graph exceeds the cap and the distributed path takes over.
-        # Driver memory is bounded by the cap (~16 B/edge) either way;
-        # the alternating-star path below is untouched for big graphs.
-        head = edges.limit(local_max_edges + 1).toPandas()
+        # the collect (r7): limit(cap+1) either returns the whole
+        # canonical edge list (≤ cap ⇒ union-find it, one driver
+        # round-trip instead of the previous signature-count + toPandas
+        # pair) or proves the graph exceeds the cap and the distributed
+        # path takes over. The probe runs on the UN-deduplicated list —
+        # union-find is duplicate-tolerant, so the small path skips the
+        # distinct's shuffle entirely; the cap therefore counts raw
+        # pairs (a graph whose raw pair list exceeds the cap goes
+        # distributed even if its distinct edge set would fit — the
+        # conservative direction). Driver memory stays bounded by the
+        # cap (~16 B/edge) either way; the alternating-star path below
+        # is untouched for big graphs.
+        head = raw.limit(local_max_edges + 1).toPandas()
         if len(head) == 0:
-            return edges.select(
+            return raw.select(
                 F.col("a").alias("node"), F.col("b").alias("component")
             )
         if len(head) <= local_max_edges:
             out = _union_find_components(head)
-            return edges.sparkSession.createDataFrame(
+            return raw.sparkSession.createDataFrame(
                 out,
                 schema="node {t}, component {t}".format(
-                    t=edges.schema["a"].dataType.simpleString()
+                    t=raw.schema["a"].dataType.simpleString()
                 ),
             )
+    edges = raw.distinct().localCheckpoint(eager=False)
     sig = _edge_signature(edges)
     if sig[0] == 0:
         return edges.select(F.col("a").alias("node"), F.col("b").alias("component"))
