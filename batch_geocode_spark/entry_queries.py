@@ -193,10 +193,16 @@ def _images(spark: SparkSession, sf_dir: str) -> DataFrame:
     # before the exchange"): the shuffle then carries the 8-byte key
     # instead of ~60-byte caption strings, and the concat/regex work
     # runs on all cores instead of the single scan task.
+    # view name carries the sf token so interleaved calls against
+    # different sf dirs can never read each other's registration;
+    # re-registering the same name for the same dir is idempotent
+    import re as _re
+
+    spread = "orders_spread_" + _re.sub(r"\W", "_", sf_dir).strip("_")
     spark.table("orders").select("o_orderkey").repartition(
         spark.sparkContext.defaultParallelism
-    ).createOrReplaceTempView("orders_spread")
-    return spark.sql(IMAGES_SQL.replace("FROM orders", "FROM orders_spread"))
+    ).createOrReplaceTempView(spread)
+    return spark.sql(IMAGES_SQL.replace("FROM orders", f"FROM {spread}"))
 
 
 def _admin_polys(spark: SparkSession, sf_dir: str) -> DataFrame:
